@@ -24,7 +24,7 @@ DEFAULT_DTYPE = jnp.complex64
 
 @lru_cache(maxsize=16)
 def _estimate_fn(cfg: GfdmConfig, dtype):
-    E_T = jnp.asarray(operators.channel_estimation_operator(cfg).T, dtype=dtype)
+    E_T = operators.channel_estimation_operator(cfg).T.astype(np.dtype(dtype))
 
     @jax.jit
     def fn(rx_preamble):
@@ -52,17 +52,17 @@ def _snr_fn(cfg: GfdmConfig, dtype):
     hi = 2 * (np.arange(half) + offset)
     unused_half = (K - cfg.active_subcarriers) // 2
     lo = 2 * (np.arange(half) + unused_half + K // 2)
-    sig_idx = jnp.asarray(np.concatenate((hi, lo)))
-    noise_idx = jnp.asarray(np.concatenate((hi + 1, lo + 1)))
-    F2_T = jnp.asarray(operators.dft_matrix(2 * K).T, dtype=dtype)
+    sig_idx = np.concatenate((hi, lo))
+    noise_idx = np.concatenate((hi + 1, lo + 1))
+    F2_T = operators.dft_matrix(2 * K).T.astype(np.dtype(dtype))
 
     @jax.jit
     def fn(rx_preamble):
         F = rx_preamble @ F2_T
         p = jnp.abs(F) ** 2
-        cnrs = jnp.take(p, sig_idx, axis=-1)
+        cnrs = jnp.take(p, jnp.asarray(sig_idx), axis=-1)
         sym = jnp.sum(cnrs, axis=-1)
-        noise = jnp.sum(jnp.take(p, noise_idx, axis=-1), axis=-1)
+        noise = jnp.sum(jnp.take(p, jnp.asarray(noise_idx), axis=-1), axis=-1)
         snr_lin = (sym - noise) / noise
         scale = snr_lin / (sym / cnrs.shape[-1])
         return snr_lin, cnrs * scale[..., None]

@@ -44,9 +44,9 @@ def remove_cyclic_prefix(cfg: GfdmConfig, framed):
 
 @lru_cache(maxsize=16)
 def _demod_fns(cfg: GfdmConfig, dtype):
-    B_T = jnp.asarray(operators.demodulation_operator(cfg).T, dtype=dtype)
-    F_T = jnp.asarray(operators.dft_matrix(cfg.block_len).T, dtype=dtype)
-    Bfd_T = jnp.asarray(operators.demodulation_fd_operator(cfg).T, dtype=dtype)
+    B_T = operators.demodulation_operator(cfg).T.astype(np.dtype(dtype))
+    F_T = operators.dft_matrix(cfg.block_len).T.astype(np.dtype(dtype))
+    Bfd_T = operators.demodulation_fd_operator(cfg).T.astype(np.dtype(dtype))
 
     @jax.jit
     def mf(frames):
@@ -80,28 +80,26 @@ def demodulate_equalized(cfg: GfdmConfig, frames, channel_fd, dtype=DEFAULT_DTYP
 @lru_cache(maxsize=16)
 def _ic_fns(cfg: GfdmConfig, constellation: tuple, dtype):
     K, M = cfg.subcarriers, cfg.timeslots
-    F_T = jnp.asarray(operators.dft_matrix(cfg.block_len).T, dtype=dtype)
-    Bfd_T = jnp.asarray(operators.demodulation_fd_operator(cfg).T, dtype=dtype)
-    Fm_T = jnp.asarray(operators.dft_matrix(M).T, dtype=dtype)
-    points = jnp.asarray(np.asarray(constellation), dtype=dtype)
-    ic_taps = jnp.asarray(
-        _ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap), dtype=dtype
-    )
+    F_T = operators.dft_matrix(cfg.block_len).T.astype(np.dtype(dtype))
+    Bfd_T = operators.demodulation_fd_operator(cfg).T.astype(np.dtype(dtype))
+    Fm_T = operators.dft_matrix(M).T.astype(np.dtype(dtype))
+    points_np = np.asarray(constellation).astype(np.dtype(dtype))
+    ic_taps = _ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap).astype(np.dtype(dtype))
     # mask of active subcarriers: decisions elsewhere forced to 0
     active = np.zeros(K, dtype=bool)
     active[cfg.subcarrier_map] = True
-    active = jnp.asarray(active)
 
     def decide(d):
         # nearest constellation point on active subcarriers, 0 elsewhere
+        points = jnp.asarray(points_np)
         grid = d.reshape(d.shape[:-1] + (K, M))
         dist = jnp.abs(grid[..., None] - points) ** 2
         hard = points[jnp.argmin(dist, axis=-1)]
-        hard = jnp.where(active[..., :, None], hard, 0.0)
+        hard = jnp.where(jnp.asarray(active)[..., :, None], hard, 0.0)
         return hard
 
     # per-subcarrier IFFT of folded symbols == applying idft_matrix(M) rowwise
-    iFm_T = jnp.asarray(operators.idft_matrix(M).T, dtype=dtype)
+    iFm_T = operators.idft_matrix(M).T.astype(np.dtype(dtype))
 
     def run(frames, channel_fd, ic_iterations: int, phase_compensation: bool):
         X = frames @ F_T
@@ -126,7 +124,7 @@ def _ic_fns(cfg: GfdmConfig, constellation: tuple, dtype):
             # iteration 0 with common-phase-offset correction of the FD state
             grid = d.reshape(frames.shape[:-1] + (K, M))
             hard = decide(d)
-            mask = active[..., :, None]
+            mask = jnp.asarray(active)[..., :, None]
             nonzero = jnp.abs(hard) > 0
             diff = jnp.where(mask & nonzero, jnp.angle(hard) - jnp.angle(grid), 0.0)
             phase = jnp.sum(diff, axis=(-2, -1)) / (cfg.subcarrier_map.size * M)
@@ -163,11 +161,11 @@ def ic_receiver(
 
 @lru_cache(maxsize=16)
 def _demap_fn(cfg: GfdmConfig):
-    idx = jnp.asarray(demap_indices(cfg))
+    idx = demap_indices(cfg)
 
     @jax.jit
     def fn(symbols):
-        return jnp.take(symbols, idx, axis=-1)
+        return jnp.take(symbols, jnp.asarray(idx), axis=-1)
 
     return fn
 

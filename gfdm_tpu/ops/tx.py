@@ -27,7 +27,7 @@ DEFAULT_DTYPE = jnp.complex64
 
 @lru_cache(maxsize=16)
 def _modulate_fn(cfg: GfdmConfig, dtype):
-    A_T = jnp.asarray(operators.modulation_operator(cfg).T, dtype=dtype)
+    A_T = operators.modulation_operator(cfg).T.astype(np.dtype(dtype))
 
     @jax.jit
     def fn(grid_flat):
@@ -50,14 +50,12 @@ def _map_fn(cfg: GfdmConfig, dtype):
     rows, cols = np.nonzero(Amap.real)
     idx[rows] = cols
 
-    idx = jnp.asarray(idx)
-
     @jax.jit
     def fn(data):
         padded = jnp.concatenate(
             [data, jnp.zeros(data.shape[:-1] + (1,), dtype=data.dtype)], axis=-1
         )
-        return jnp.take(padded, idx, axis=-1)
+        return jnp.take(padded, jnp.asarray(idx), axis=-1)
 
     return fn
 
@@ -78,12 +76,12 @@ def demap_indices(cfg: GfdmConfig) -> np.ndarray:
 
 @lru_cache(maxsize=16)
 def _cp_fn(cfg: GfdmConfig, cyclic_shift: int, dtype):
-    idx = jnp.asarray(operators.cp_indices(cfg, cyclic_shift))
-    win = jnp.asarray(operators.cp_window(cfg), dtype=dtype)
+    idx = operators.cp_indices(cfg, cyclic_shift)
+    win = operators.cp_window(cfg).astype(np.dtype(dtype))
 
     @jax.jit
     def fn(core):
-        return jnp.take(core, idx, axis=-1) * win
+        return jnp.take(core, jnp.asarray(idx), axis=-1) * win
 
     return fn
 
@@ -95,12 +93,12 @@ def add_cyclic_prefix(cfg: GfdmConfig, core, cyclic_shift: int = 0, dtype=DEFAUL
 
 @lru_cache(maxsize=16)
 def _transmit_fns(cfg: GfdmConfig, dtype):
-    T_T = jnp.asarray(operators.tx_core_operator(cfg).T, dtype=dtype)
-    cp_idx = jnp.asarray(
-        np.stack([operators.cp_indices(cfg, s) for s in cfg.cyclic_shifts])
+    T_T = operators.tx_core_operator(cfg).T.astype(np.dtype(dtype))
+    cp_idx = np.stack(
+        [operators.cp_indices(cfg, s) for s in cfg.cyclic_shifts]
     )  # (n_shifts, window_len)
-    win = jnp.asarray(operators.cp_window(cfg), dtype=dtype)
-    preambles = jnp.asarray(cfg.full_preambles, dtype=dtype)  # (n_shifts, p_len)
+    win = operators.cp_window(cfg).astype(np.dtype(dtype))
+    preambles = cfg.full_preambles.astype(np.dtype(dtype))  # (n_shifts, p_len)
 
     @jax.jit
     def core_fn(data):
@@ -109,8 +107,8 @@ def _transmit_fns(cfg: GfdmConfig, dtype):
     @jax.jit
     def frame_fn(data):
         core = data @ T_T  # (..., N)
-        framed = jnp.take(core, cp_idx, axis=-1) * win  # (..., n_shifts, W)
-        pre = jnp.broadcast_to(preambles, framed.shape[:-2] + preambles.shape)
+        framed = jnp.take(core, jnp.asarray(cp_idx), axis=-1) * win  # (..., n_shifts, W)
+        pre = jnp.broadcast_to(jnp.asarray(preambles), framed.shape[:-2] + preambles.shape)
         return jnp.concatenate([pre, framed], axis=-1)
 
     return core_fn, frame_fn

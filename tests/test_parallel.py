@@ -1,0 +1,107 @@
+"""Sharding tests on a virtual 8-device CPU mesh.
+
+Assert shard-vs-single-device equivalence (SURVEY.md section 4 implication):
+the same link step produces identical results when bursts are sharded over
+'dp' and when stream chunks are sharded over 'sp' with halo exchange.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gfdm_tpu import GfdmConfig
+from gfdm_tpu.ops import sync as sync_ops
+from gfdm_tpu.parallel import detect_bursts_sharded, make_mesh, shard_bursts
+from gfdm_tpu.ref import utils
+from gfdm_tpu.runtime.receiver import receive_bursts
+from gfdm_tpu.runtime.transmitter import transmit_bursts
+
+CFG = GfdmConfig()
+
+
+def _payloads(cfg, batch, seed=0):
+    return np.stack(
+        [utils.random_qpsk(cfg.n_data_symbols, seed=seed + i) for i in range(batch)]
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_sharded_link_matches_single_device():
+    mesh = make_mesh(dp=8, sp=1)
+    batch = 16
+    data = _payloads(CFG, batch).astype(np.complex64)
+
+    bursts = np.asarray(transmit_bursts(CFG, data))[:, 0, :]
+    out_single = receive_bursts(CFG, bursts, ic_iterations=2)
+
+    bursts_sharded = shard_bursts(mesh, jnp.asarray(bursts))
+    out_sharded = receive_bursts(CFG, bursts_sharded, ic_iterations=2)
+
+    np.testing.assert_allclose(
+        np.asarray(out_single["data"]), np.asarray(out_sharded["data"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single["snr_lin"]), np.asarray(out_sharded["snr_lin"]), rtol=1e-4
+    )
+
+
+def test_sp_halo_exchange_finds_boundary_straddling_burst():
+    """A burst crossing an 'sp' chunk boundary is recovered via the halo."""
+    mesh = make_mesh(dp=2, sp=4)
+    n_sp = 4
+    chunk_len = 2048
+    batch = 2
+    data = _payloads(CFG, batch, seed=7).astype(np.complex64)
+    bursts = np.asarray(transmit_bursts(CFG, data))[:, 0, :]
+
+    stream = np.zeros((batch, n_sp * chunk_len), dtype=np.complex64)
+    # place the burst so it straddles the boundary between chunk 1 and 2
+    offset = 2 * chunk_len - CFG.frame_len // 2
+    stream[:, offset : offset + CFG.frame_len] = bursts
+
+    sharded = jax.device_put(
+        jnp.asarray(stream), NamedSharding(mesh, P("dp", "sp"))
+    )
+    det, extracted = detect_bursts_sharded(CFG, mesh, sharded, halo=CFG.frame_len + 64)
+
+    starts = np.asarray(det["start"])
+    owned = np.asarray(det["owned"])
+    strength = np.asarray(det["strength"])
+
+    # chunk 1 owns the burst: local start = offset - chunk_len + cp_len
+    expect_local = offset - chunk_len + CFG.cp_len
+    assert np.all(np.abs(starts[:, 1] - expect_local) <= 2)
+    assert np.all(owned[:, 1])
+    # and its detection is by far the strongest owned one
+    assert np.all(strength[:, 1] > 2 * strength[:, 0])
+
+    # the extracted burst from chunk 1 demodulates back to the payload
+    out = receive_bursts(CFG, jnp.asarray(extracted[:, 1, :]), ic_iterations=2)
+    d_hat = np.asarray(out["data"])
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
+
+
+def test_sharded_detection_matches_unsharded_on_owner_chunk():
+    mesh = make_mesh(dp=2, sp=4)
+    n_sp, chunk_len, batch = 4, 2048, 2
+    data = _payloads(CFG, batch, seed=11).astype(np.complex64)
+    bursts = np.asarray(transmit_bursts(CFG, data))[:, 0, :]
+    stream = np.zeros((batch, n_sp * chunk_len), dtype=np.complex64)
+    offset = 100  # well inside chunk 0
+    stream[:, offset : offset + CFG.frame_len] = bursts
+
+    sharded = jax.device_put(jnp.asarray(stream), NamedSharding(mesh, P("dp", "sp")))
+    det, _ = detect_bursts_sharded(CFG, mesh, sharded, halo=CFG.frame_len + 64)
+
+    # single-device detection on the same chunk with the same halo width
+    ext = jnp.asarray(stream[:, : chunk_len + CFG.frame_len + 64])
+    det_ref = sync_ops.detect_bursts(CFG, ext)
+    np.testing.assert_array_equal(
+        np.asarray(det["start"])[:, 0], np.asarray(det_ref["start"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(det["cfo"])[:, 0], np.asarray(det_ref["cfo"]), atol=1e-7
+    )
