@@ -1,0 +1,362 @@
+"""Complex-free (planar) implementations of the full GFDM pipeline.
+
+This is the TPU production path: identical math to gfdm_tpu.ops.{tx,rx,
+estimation,sync} but expressed entirely in real float32 tensors with the
+planar layout of gfdm_tpu.ops.planar - every complex matmul is one real MXU
+matmul against a realified operator, the sync cross-correlation is a 2-in/
+2-out-channel real convolution, and nonlinear steps (divide, decisions,
+angles) are explicit real arithmetic.
+
+Parity: tested element-wise against the complex ops (which are themselves
+tested against the float64 golden model), see tests/test_planar.py.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GfdmConfig
+from ..ref.demodulation import ic_filter_taps as _ic_taps_ref
+from . import operators
+from .planar import (
+    pabs2,
+    pangle,
+    pconj,
+    pdiv,
+    pexp_i,
+    pmatmul,
+    pmul,
+    real_operator,
+    to_planar,
+)
+from .rx import qpsk_constellation
+from .sync import moving_sum
+from .tx import demap_indices
+
+__all__ = [
+    "transmit_planar",
+    "receive_bursts_planar",
+    "detect_bursts_planar",
+    "extract_bursts_planar",
+    "link_step_planar",
+]
+
+
+# ---------------------------------------------------------------------------
+# Tx
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _tx_consts(cfg: GfdmConfig, dtype_name: str):
+    dt = np.dtype(dtype_name)
+    T_W = real_operator(operators.tx_core_operator(cfg).T, dtype=dt)
+    cp_idx = np.stack([operators.cp_indices(cfg, s) for s in cfg.cyclic_shifts])
+    win = operators.cp_window(cfg).astype(dt)
+    preambles = to_planar(cfg.full_preambles, dtype=dt)  # (n_shifts, 2, p_len)
+    return T_W, cp_idx, win, preambles
+
+
+def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32"):
+    """(..., 2, n_data) planar payload -> (..., n_shifts, 2, frame_len)."""
+    T_W, cp_idx, win, preambles = _tx_consts(cfg, dtype_name)
+
+    @jax.jit
+    def fn(d):
+        core = pmatmul(d, T_W)  # (..., 2, N)
+        framed = jnp.take(core, jnp.asarray(cp_idx), axis=-1) * win  # (...,2,S,W)
+        framed = jnp.moveaxis(framed, -2, -3)  # (..., S, 2, W)
+        pre = jnp.broadcast_to(
+            jnp.asarray(preambles), framed.shape[:-2] + preambles.shape[-2:]
+        )
+        return jnp.concatenate([pre, framed], axis=-1)
+
+    return fn(data)
+
+
+# ---------------------------------------------------------------------------
+# Rx (channel estimation + ZF + IC + demap)
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _rx_consts(cfg: GfdmConfig, dtype_name: str):
+    dt = np.dtype(dtype_name)
+    K, M = cfg.subcarriers, cfg.timeslots
+    consts = {
+        "E_W": real_operator(operators.channel_estimation_operator(cfg).T, dt),
+        "F_W": real_operator(operators.dft_matrix(cfg.block_len).T, dt),
+        "Bfd_W": real_operator(operators.demodulation_fd_operator(cfg).T, dt),
+        "Fm_W": real_operator(operators.dft_matrix(M).T, dt),
+        "iFm_W": real_operator(operators.idft_matrix(M).T, dt),
+        "F2_W": real_operator(operators.dft_matrix(2 * K).T, dt),
+        "ic_taps": to_planar(_ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap), dt),
+        "demap_idx": demap_indices(cfg),
+    }
+    active = np.zeros(K, dtype=bool)
+    active[cfg.subcarrier_map] = True
+    consts["active"] = active
+    half = cfg.active_subcarriers // 2
+    offset = 1 if cfg.dc_free else 0
+    hi = 2 * (np.arange(half) + offset)
+    unused_half = (K - cfg.active_subcarriers) // 2
+    lo = 2 * (np.arange(half) + unused_half + K // 2)
+    consts["sig_idx"] = np.concatenate((hi, lo))
+    consts["noise_idx"] = np.concatenate((hi + 1, lo + 1))
+    return consts
+
+
+def _decide_planar(d_grid, points_pl, active):
+    """Nearest-point decision on (..., 2, K, M) grids, zero off active SCs.
+
+    points_pl: (P, 2) planar constellation points.
+    """
+    r, i = d_grid[..., 0, :, :], d_grid[..., 1, :, :]
+    pr = points_pl[:, 0].reshape((-1,) + (1,) * r.ndim)
+    pi = points_pl[:, 1].reshape((-1,) + (1,) * r.ndim)
+    dist = (r[None] - pr) ** 2 + (i[None] - pi) ** 2
+    idx = jnp.argmin(dist, axis=0)  # (..., K, M)
+    hr = jnp.take(points_pl[:, 0], idx)
+    hi_ = jnp.take(points_pl[:, 1], idx)
+    mask = jnp.asarray(active)[..., :, None]
+    hr = jnp.where(mask, hr, 0.0)
+    hi_ = jnp.where(mask, hi_, 0.0)
+    return jnp.stack([hr, hi_], axis=-3)  # (..., 2, K, M)
+
+
+@lru_cache(maxsize=16)
+def _receive_fn(
+    cfg: GfdmConfig,
+    ic_iterations: int,
+    equalize: bool,
+    constellation: tuple,
+    phase_compensation: bool,
+    dtype_name: str,
+):
+    c = _rx_consts(cfg, dtype_name)
+    K, M = cfg.subcarriers, cfg.timeslots
+    points_pl = to_planar(np.asarray(constellation))  # (P, 2)? shape (P,2)... stack axis=-2
+    # to_planar gives (2, P) for a 1-D input; transpose to (P, 2)
+    points_pl = np.ascontiguousarray(points_pl.T)
+    n_active = cfg.subcarrier_map.size
+
+    @jax.jit
+    def fn(bursts):
+        # bursts: (..., 2, >= frame_len) aligned at full-preamble start
+        rx_pre = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K]
+        channel = pmatmul(rx_pre, c["E_W"])  # (..., 2, N)
+        # SNR from the 2K preamble FFT
+        F = pmatmul(rx_pre, c["F2_W"])
+        p = pabs2(F)
+        cnrs = jnp.take(p, jnp.asarray(c["sig_idx"]), axis=-1)
+        sym = jnp.sum(cnrs, axis=-1)
+        noise = jnp.sum(jnp.take(p, jnp.asarray(c["noise_idx"]), axis=-1), axis=-1)
+        snr_lin = (sym - noise) / noise
+        cnrs = cnrs * (snr_lin / (sym / cnrs.shape[-1]))[..., None]
+
+        start = cfg.preamble_len + cfg.cp_len
+        frame = bursts[..., start : start + cfg.block_len]
+        X = pmatmul(frame, c["F_W"])
+        if equalize:
+            X = pdiv(X, channel)
+        S = pmatmul(X, c["Bfd_W"])  # (..., 2, N) symbol estimates
+        grid = S.reshape(S.shape[:-1] + (K, M))  # (..., 2, K, M)
+
+        # per-subcarrier M-point FFT on planar grids: treat (K) as batch
+        def fft_m(g):
+            # g: (..., 2, K, M) -> move planes next to M: (..., K, 2, M)
+            gm = jnp.moveaxis(g, -3, -2)
+            out = pmatmul(gm, c["Fm_W"])
+            return jnp.moveaxis(out, -2, -3)
+
+        def ifft_m(g):
+            gm = jnp.moveaxis(g, -3, -2)
+            out = pmatmul(gm, c["iFm_W"])
+            return jnp.moveaxis(out, -2, -3)
+
+        folded = fft_m(grid)
+        d = grid
+
+        if phase_compensation and ic_iterations > 0:
+            hard = _decide_planar(d, jnp.asarray(points_pl), c["active"])
+            mask = jnp.asarray(c["active"])[..., :, None]
+            nz = (hard[..., 0, :, :] ** 2 + hard[..., 1, :, :] ** 2) > 0
+            ang_h = jnp.arctan2(hard[..., 1, :, :], hard[..., 0, :, :])
+            ang_d = jnp.arctan2(d[..., 1, :, :], d[..., 0, :, :])
+            diff = jnp.where(mask & nz, ang_h - ang_d, 0.0)
+            phase = jnp.sum(diff, axis=(-2, -1)) / (n_active * M)
+            rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+            fr = folded[..., 0, :, :]
+            fi = folded[..., 1, :, :]
+            cr = rot[..., 0][..., None, None]
+            ci = rot[..., 1][..., None, None]
+            folded = jnp.stack([fr * cr - fi * ci, fr * ci + fi * cr], axis=-3)
+
+        ic_taps = jnp.asarray(c["ic_taps"])  # (2, M)
+
+        def body(_, carry):
+            d, folded = carry
+            hard = _decide_planar(d, jnp.asarray(points_pl), c["active"])
+            neighbors = jnp.roll(hard, 1, axis=-2) + jnp.roll(hard, -1, axis=-2)
+            V = fft_m(neighbors)
+            # V * ic_taps (complex elementwise, taps broadcast over K)
+            vr, vi = V[..., 0, :, :], V[..., 1, :, :]
+            tr, ti = ic_taps[0][None, :], ic_taps[1][None, :]
+            prod = jnp.stack([vr * tr - vi * ti, vr * ti + vi * tr], axis=-3)
+            cleaned = folded - prod
+            return (ifft_m(cleaned), folded)
+
+        d, _ = jax.lax.fori_loop(0, ic_iterations, body, (d, folded))
+        symbols = d.reshape(S.shape)
+        data = jnp.take(symbols, jnp.asarray(c["demap_idx"]), axis=-1)
+        return {
+            "data": data,
+            "symbols": symbols,
+            "channel": channel,
+            "snr_lin": snr_lin,
+            "cnrs": cnrs,
+        }
+
+    return fn
+
+
+def receive_bursts_planar(
+    cfg: GfdmConfig,
+    bursts,
+    ic_iterations: int = 2,
+    equalize: bool = True,
+    constellation=qpsk_constellation,
+    phase_compensation: bool = False,
+    dtype_name: str = "float32",
+):
+    """Planar receiver chain: (..., 2, >=frame_len) -> dict of planar outputs."""
+    fn = _receive_fn(
+        cfg,
+        int(ic_iterations),
+        bool(equalize),
+        tuple(np.asarray(constellation).tolist()),
+        bool(phase_compensation),
+        dtype_name,
+    )
+    return fn(bursts)
+
+
+# ---------------------------------------------------------------------------
+# Sync + extraction
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _detect_consts(cfg: GfdmConfig, dtype_name: str):
+    dt = np.dtype(dtype_name)
+    x_pre = cfg.core_preamble
+    x_pre = x_pre / np.sqrt(np.mean(np.abs(x_pre) ** 2))
+    p = np.conjugate(x_pre)[::-1]  # correlation kernel (conv flips back)
+    # conv kernel (out_ch, in_ch, k): planar complex correlation
+    #   cc = corr(s, x*) : cc_re = s_re*p_re - s_im*p_im ... with p = conj(x)
+    pr, pi = p.real.astype(dt), p.imag.astype(dt)
+    kernel = np.stack(
+        [np.stack([pr, -pi]), np.stack([pi, pr])]
+    )  # (2 out, 2 in, k)
+    return kernel[:, :, ::-1].copy()  # pre-flip so lax.conv correlates with p
+
+
+def detect_bursts_planar(cfg: GfdmConfig, stream, dtype_name: str = "float32"):
+    """Planar burst detection: (..., 2, T) -> metadata dict (real arrays)."""
+    K = cfg.subcarriers
+    cp_len = cfg.cp_len
+    kernel = _detect_consts(cfg, dtype_name)
+    p_len = 2 * K
+
+    @jax.jit
+    def fn(s):
+        T = s.shape[-1]
+        lead = s.shape[:-2]
+        # --- coarse autocorrelation ---
+        a = s[..., : T - K]
+        b = s[..., K:]
+        c_prod = pmul(pconj(a), b)
+        p_ms = moving_sum(c_prod, K)[..., : T - 2 * K]
+        energy = moving_sum(pabs2(s), 2 * K)[..., : T - 2 * K]
+        energy = jnp.maximum(energy, 1e-30)
+        ac = p_ms * (2.0 / energy)[..., None, :]
+        ac_mag = jnp.sqrt(pabs2(ac))
+        pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), ac_mag.dtype)
+        ic = moving_sum(jnp.concatenate([pad, ac_mag], axis=-1), cp_len + 1) / (
+            cp_len + 1
+        )
+
+        # --- fine: cross-correlation as a 2-channel real conv ---
+        s_nc = s.reshape((-1, 2, T))  # (batch, chan, length)
+        cc = jax.lax.conv_general_dilated(
+            s_nc, jnp.asarray(kernel), (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )  # (batch, 2, T - p_len + 1)
+        cc = cc.reshape(lead + (2, T - p_len + 1)) / p_len
+        n_valid = T - 2 * K
+        gated = jnp.sqrt(pabs2(cc))[..., :n_valid] * ic[..., :n_valid]
+
+        nc = jnp.argmax(gated, axis=-1)
+        peak = jnp.take_along_axis(gated, nc[..., None], axis=-1)[..., 0]
+        ac_r = jnp.take_along_axis(ac[..., 0, :], nc[..., None], axis=-1)[..., 0]
+        ac_i = jnp.take_along_axis(ac[..., 1, :], nc[..., None], axis=-1)[..., 0]
+        cfo = jnp.arctan2(ac_i, ac_r) / (2.0 * jnp.pi)
+        e_at = jnp.take_along_axis(energy, nc[..., None], axis=-1)[..., 0]
+        scale = jnp.sqrt(p_len / e_at)
+        return {"start": nc, "cfo": cfo, "scale": scale, "strength": peak,
+                "ac_metric": ic}
+
+    return fn(stream)
+
+
+@lru_cache(maxsize=16)
+def _extract_fn_planar(cfg: GfdmConfig, burst_len: int, backoff: int, correct_cfo: bool):
+    K = cfg.subcarriers
+
+    @jax.jit
+    def fn(stream, start, scale, cfo):
+        T = stream.shape[-1]
+        offs = jnp.arange(burst_len)
+        idx = start[..., None] + offs - backoff  # (..., burst_len)
+        gather_idx = jnp.clip(idx, 0, T - 1)[..., None, :]  # (..., 1, L)
+        gather_idx = jnp.broadcast_to(
+            gather_idx, gather_idx.shape[:-2] + (2, burst_len)
+        )
+        burst = jnp.take_along_axis(stream, gather_idx, axis=-1)
+        valid = ((idx >= 0) & (idx < T))[..., None, :]
+        burst = jnp.where(valid, burst, 0.0)
+        burst = burst * scale[..., None, None]
+        if correct_cfo:
+            phase = -2.0 * jnp.pi * cfo[..., None] * offs / K
+            rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-2)
+            burst = pmul(burst, rot)
+        return burst
+
+    return fn
+
+
+def extract_bursts_planar(
+    cfg: GfdmConfig,
+    stream,
+    detection,
+    burst_len: int | None = None,
+    backoff: int | None = None,
+    correct_cfo: bool = True,
+):
+    """Planar burst extraction: (..., 2, T) + detection -> (..., 2, burst_len)."""
+    if burst_len is None:
+        burst_len = cfg.frame_len
+    if backoff is None:
+        backoff = cfg.cp_len
+    fn = _extract_fn_planar(cfg, int(burst_len), int(backoff), bool(correct_cfo))
+    return fn(stream, detection["start"], detection["scale"], detection["cfo"])
+
+
+# ---------------------------------------------------------------------------
+# Full link step (bench / entry)
+# ---------------------------------------------------------------------------
+def link_step_planar(cfg: GfdmConfig, data, ic_iterations: int = 2):
+    """Planar end-to-end: payload -> Tx -> Rx -> (data_hat, snr, evm)."""
+    bursts = transmit_planar(cfg, data)[..., 0, :, :]
+    out = receive_bursts_planar(cfg, bursts, ic_iterations=ic_iterations)
+    err = jnp.sum((out["data"] - data) ** 2)
+    ref = jnp.maximum(jnp.sum(data**2), 1e-30)
+    evm = jnp.sqrt(err / ref)
+    return out["data"], out["snr_lin"], evm

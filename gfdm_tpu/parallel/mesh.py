@@ -72,13 +72,16 @@ def halo_exchange_right(chunks, halo: int, axis_name: str = "sp"):
     return jnp.concatenate([chunks, recv], axis=-1)
 
 
-def detect_bursts_sharded(cfg: GfdmConfig, mesh: Mesh, stream, halo: int | None = None):
+def detect_bursts_sharded(
+    cfg: GfdmConfig, mesh: Mesh, stream, halo: int | None = None, planar: bool = False
+):
     """Burst detection over a stream whose sample axis is sharded on 'sp'.
 
-    ``stream``: (batch, n_sp * chunk_len) with batch sharded on 'dp' and the
-    sample axis sharded on 'sp'. Each chip extends its chunk with a
-    frame-length halo from the right neighbour, detects locally, and keeps
-    only bursts it owns (start < chunk_len).
+    ``stream``: (batch, n_sp * chunk_len) complex - or, with ``planar=True``,
+    (batch, 2, n_sp * chunk_len) real planes (the TPU path) - with batch
+    sharded on 'dp' and the sample axis sharded on 'sp'. Each chip extends
+    its chunk with a frame-length halo from the right neighbour, detects
+    locally, and keeps only bursts it owns (start < chunk_len).
 
     Returns (detection dict, extracted bursts) with per-chip leading layout
     re-assembled to (batch, n_sp, ...).
@@ -90,22 +93,35 @@ def detect_bursts_sharded(cfg: GfdmConfig, mesh: Mesh, stream, halo: int | None 
     total = stream.shape[-1]
     chunk_len = total // n_sp
 
+    if planar:
+        from ..ops import planar_pipeline as pp
+
+        in_spec = P("dp", None, "sp")
+        burst_spec = P("dp", "sp", None, None)
+        detect = pp.detect_bursts_planar
+        extract = pp.extract_bursts_planar
+    else:
+        in_spec = P("dp", "sp")
+        burst_spec = P("dp", "sp", None)
+        detect = sync_ops.detect_bursts
+        extract = burst_ops.extract_bursts
+
     @jax.jit  # keep shard_map traced: the eager path cannot re-enter jit
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P("dp", "sp"),
+        in_specs=in_spec,
         out_specs=(
             {k: P("dp", "sp") for k in ("start", "cfo", "scale", "strength", "owned")},
-            P("dp", "sp", None),
+            burst_spec,
         ),
     )
     def _shard_fn(local):
-        # local: (batch/dp, chunk_len)
+        # local: (batch/dp, chunk_len) or (batch/dp, 2, chunk_len)
         extended = halo_exchange_right(local, halo, "sp")
-        det = sync_ops.detect_bursts(cfg, extended)
+        det = detect(cfg, extended)
         owned = det["start"] < chunk_len  # neighbour owns bursts beyond edge
-        bursts = burst_ops.extract_bursts(cfg, extended, det)
+        bursts = extract(cfg, extended, det)
         out_det = {
             "start": det["start"][..., None],
             "cfo": det["cfo"][..., None],
@@ -113,11 +129,19 @@ def detect_bursts_sharded(cfg: GfdmConfig, mesh: Mesh, stream, halo: int | None 
             "strength": det["strength"][..., None],
             "owned": owned[..., None],
         }
-        return out_det, bursts[..., None, :]
+        if planar:
+            bursts = bursts[:, None, :, :]  # (b, 1, 2, L)
+        else:
+            bursts = bursts[..., None, :]  # (b, 1, L)
+        return out_det, bursts
 
     det, bursts = _shard_fn(stream)
     det = {k: v.reshape(v.shape[0], n_sp) for k, v in det.items()}
-    return det, bursts.reshape(bursts.shape[0], n_sp, -1)
+    if planar:
+        bursts = bursts.reshape(bursts.shape[0], n_sp, 2, -1)
+    else:
+        bursts = bursts.reshape(bursts.shape[0], n_sp, -1)
+    return det, bursts
 
 
 def psum_metrics(metrics: dict, axis_name: str):

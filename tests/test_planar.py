@@ -1,0 +1,144 @@
+"""Parity of the complex-free (planar) TPU path vs the complex ops.
+
+The planar pipeline is the production TPU path (the axon TPU backend cannot
+transfer complex dtypes); it must agree element-wise with the complex ops,
+which are themselves validated against the float64 golden model.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from gfdm_tpu import GfdmConfig
+from gfdm_tpu.ops import burst as burst_ops
+from gfdm_tpu.ops import planar as pl
+from gfdm_tpu.ops import planar_pipeline as pp
+from gfdm_tpu.ops import sync as sync_ops
+from gfdm_tpu.ops import tx as tx_ops
+from gfdm_tpu.ref import utils
+from gfdm_tpu.runtime.receiver import receive_bursts
+
+CFG = GfdmConfig()
+BATCH = 3
+
+
+def _payloads(cfg, batch, seed=0):
+    return np.stack(
+        [utils.random_qpsk(cfg.n_data_symbols, seed=seed + i) for i in range(batch)]
+    ).astype(np.complex64)
+
+
+def test_planar_primitives():
+    a = utils.random_samples(64, seed=1).astype(np.complex64)
+    b = utils.random_samples(64, seed=2).astype(np.complex64)
+    ap, bp = jnp.asarray(pl.to_planar(a)), jnp.asarray(pl.to_planar(b))
+    np.testing.assert_allclose(pl.from_planar(pl.pmul(ap, bp)), a * b, atol=1e-5)
+    np.testing.assert_allclose(pl.from_planar(pl.pconj(ap)), np.conj(a), atol=1e-6)
+    np.testing.assert_allclose(pl.from_planar(pl.pdiv(ap, bp)), a / b, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pl.pabs2(ap)), np.abs(a) ** 2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl.pangle(ap)), np.angle(a), atol=1e-5)
+
+    W = utils.random_samples(64 * 32, seed=3).reshape(64, 32).astype(np.complex64)
+    Wr = pl.real_operator(W)
+    got = pl.from_planar(pl.pmatmul(ap[None], jnp.asarray(Wr)))[0]
+    np.testing.assert_allclose(got, a @ W, atol=1e-4)
+
+
+def test_planar_transmit_matches_complex():
+    cfg = GfdmConfig(cyclic_shifts=(0, 4))
+    data = _payloads(cfg, BATCH, seed=10)
+    ref = np.asarray(tx_ops.transmit(cfg, data))  # (B, S, L) complex
+    got = pl.from_planar(np.asarray(pp.transmit_planar(cfg, jnp.asarray(pl.to_planar(data)))))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_planar_receive_matches_complex():
+    data = _payloads(CFG, BATCH, seed=20)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    # add light noise so the SNR estimate is finite (not float-eps dominated)
+    rng = np.random.default_rng(1)
+    bursts = bursts + 1e-3 * (
+        rng.standard_normal(bursts.shape) + 1j * rng.standard_normal(bursts.shape)
+    ).astype(np.complex64)
+    ref = receive_bursts(CFG, bursts, ic_iterations=3)
+    got = pp.receive_bursts_planar(
+        CFG, jnp.asarray(pl.to_planar(bursts)), ic_iterations=3
+    )
+    np.testing.assert_allclose(
+        pl.from_planar(np.asarray(got["data"])), np.asarray(ref["data"]), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        pl.from_planar(np.asarray(got["channel"])), np.asarray(ref["channel"]), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["snr_lin"]), np.asarray(ref["snr_lin"]), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cnrs"]), np.asarray(ref["cnrs"]), rtol=1e-2
+    )
+
+
+def test_planar_receive_phase_compensation_matches_complex():
+    from gfdm_tpu.ops import rx as rx_ops
+
+    cfg = GfdmConfig(filteralpha=0.5, active_subcarriers=64, dc_free=False)
+    data = _payloads(cfg, 2, seed=25)
+    core = np.asarray(tx_ops.transmit_core(cfg, data)) * np.exp(1j * 0.1)
+    ref = np.asarray(
+        rx_ops.ic_receiver(cfg, core, ic_iterations=4, phase_compensation=True)
+    )
+    # planar path via the full receiver needs framed bursts; test the IC core
+    # by framing with clean preamble/CP
+    bursts = np.asarray(tx_ops.transmit(cfg, data))[:, 0, :] * np.exp(1j * 0.1)
+    got = pp.receive_bursts_planar(
+        cfg,
+        jnp.asarray(pl.to_planar(bursts)),
+        ic_iterations=4,
+        equalize=False,
+        phase_compensation=True,
+    )
+    ref2 = receive_bursts(
+        cfg, bursts, ic_iterations=4, equalize=False, phase_compensation=True
+    )
+    np.testing.assert_allclose(
+        pl.from_planar(np.asarray(got["symbols"])),
+        np.asarray(ref2["symbols"]),
+        atol=5e-4,
+    )
+
+
+def test_planar_detection_matches_complex():
+    data = _payloads(CFG, BATCH, seed=30)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    chunk_len = 2048
+    offset = 300
+    stream = np.zeros((BATCH, chunk_len), dtype=np.complex64)
+    stream[:, offset : offset + CFG.frame_len] = bursts
+    rng = np.random.default_rng(0)
+    stream += 0.01 * (
+        rng.standard_normal(stream.shape) + 1j * rng.standard_normal(stream.shape)
+    ).astype(np.complex64)
+
+    ref = sync_ops.detect_bursts(CFG, jnp.asarray(stream))
+    got = pp.detect_bursts_planar(CFG, jnp.asarray(pl.to_planar(stream)))
+    np.testing.assert_array_equal(np.asarray(got["start"]), np.asarray(ref["start"]))
+    np.testing.assert_allclose(np.asarray(got["cfo"]), np.asarray(ref["cfo"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["scale"]), np.asarray(ref["scale"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["strength"]), np.asarray(ref["strength"]), rtol=1e-3
+    )
+
+    ref_b = np.asarray(burst_ops.extract_bursts(CFG, jnp.asarray(stream), ref))
+    got_b = pl.from_planar(
+        np.asarray(pp.extract_bursts_planar(CFG, jnp.asarray(pl.to_planar(stream)), got))
+    )
+    np.testing.assert_allclose(got_b, ref_b, atol=1e-4)
+
+
+def test_planar_link_step_end_to_end():
+    data = _payloads(CFG, 4, seed=40)
+    dp = jnp.asarray(pl.to_planar(data))
+    d_hat, snr, evm = pp.link_step_planar(CFG, dp, ic_iterations=2)
+    d_hat_c = pl.from_planar(np.asarray(d_hat))
+    assert utils.evm(utils.qpsk_hard_map(d_hat_c), data) < 1e-5
+    assert float(np.asarray(evm)) < 0.2
