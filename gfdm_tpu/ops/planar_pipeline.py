@@ -7,6 +7,11 @@ matmul against a realified operator, the sync cross-correlation is a 2-in/
 2-out-channel real convolution, and nonlinear steps (divide, decisions,
 angles) are explicit real arithmetic.
 
+The large realified operators are passed through the jit boundary as device
+arrays (device_put once per config) rather than being embedded as HLO
+literals - embedding them inflates the HLO by tens of MB and multiplies
+compile time, especially with this image's remote TPU compiler.
+
 Parity: tested element-wise against the complex ops (which are themselves
 tested against the float64 golden model), see tests/test_planar.py.
 """
@@ -21,17 +26,7 @@ import numpy as np
 from ..config import GfdmConfig
 from ..ref.demodulation import ic_filter_taps as _ic_taps_ref
 from . import operators
-from .planar import (
-    pabs2,
-    pangle,
-    pconj,
-    pdiv,
-    pexp_i,
-    pmatmul,
-    pmul,
-    real_operator,
-    to_planar,
-)
+from .planar import pabs2, pconj, pdiv, pmatmul, pmul, real_operator, to_planar
 from .rx import qpsk_constellation
 from .sync import moving_sum
 from .tx import demap_indices
@@ -46,84 +41,92 @@ __all__ = [
 
 
 # ---------------------------------------------------------------------------
-# Tx
+# device-resident operator matrices (one transfer per config+dtype)
 # ---------------------------------------------------------------------------
 @lru_cache(maxsize=16)
-def _tx_consts(cfg: GfdmConfig, dtype_name: str):
-    dt = np.dtype(dtype_name)
-    T_W = real_operator(operators.tx_core_operator(cfg).T, dtype=dt)
-    cp_idx = np.stack([operators.cp_indices(cfg, s) for s in cfg.cyclic_shifts])
-    win = operators.cp_window(cfg).astype(dt)
-    preambles = to_planar(cfg.full_preambles, dtype=dt)  # (n_shifts, 2, p_len)
-    return T_W, cp_idx, win, preambles
-
-
-def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32"):
-    """(..., 2, n_data) planar payload -> (..., n_shifts, 2, frame_len)."""
-    T_W, cp_idx, win, preambles = _tx_consts(cfg, dtype_name)
-
-    @jax.jit
-    def fn(d):
-        core = pmatmul(d, T_W)  # (..., 2, N)
-        framed = jnp.take(core, jnp.asarray(cp_idx), axis=-1) * win  # (...,2,S,W)
-        framed = jnp.moveaxis(framed, -2, -3)  # (..., S, 2, W)
-        pre = jnp.broadcast_to(
-            jnp.asarray(preambles), framed.shape[:-2] + preambles.shape[-2:]
-        )
-        return jnp.concatenate([pre, framed], axis=-1)
-
-    return fn(data)
-
-
-# ---------------------------------------------------------------------------
-# Rx (channel estimation + ZF + IC + demap)
-# ---------------------------------------------------------------------------
-@lru_cache(maxsize=16)
-def _rx_consts(cfg: GfdmConfig, dtype_name: str):
+def _device_mats(cfg: GfdmConfig, dtype_name: str):
     dt = np.dtype(dtype_name)
     K, M = cfg.subcarriers, cfg.timeslots
-    consts = {
+    mats = {
+        "T_W": real_operator(operators.tx_core_operator(cfg).T, dt),
         "E_W": real_operator(operators.channel_estimation_operator(cfg).T, dt),
         "F_W": real_operator(operators.dft_matrix(cfg.block_len).T, dt),
         "Bfd_W": real_operator(operators.demodulation_fd_operator(cfg).T, dt),
+        "F2_W": real_operator(operators.dft_matrix(2 * K).T, dt),
         "Fm_W": real_operator(operators.dft_matrix(M).T, dt),
         "iFm_W": real_operator(operators.idft_matrix(M).T, dt),
-        "F2_W": real_operator(operators.dft_matrix(2 * K).T, dt),
-        "ic_taps": to_planar(_ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap), dt),
+    }
+    return {k: jax.device_put(v) for k, v in mats.items()}
+
+
+@lru_cache(maxsize=16)
+def _small_consts(cfg: GfdmConfig, dtype_name: str):
+    dt = np.dtype(dtype_name)
+    K = cfg.subcarriers
+    c = {
+        "cp_idx": np.stack([operators.cp_indices(cfg, s) for s in cfg.cyclic_shifts]),
+        "win": operators.cp_window(cfg).astype(dt),
+        "preambles": to_planar(cfg.full_preambles, dtype=dt),
+        "ic_taps": to_planar(_ic_taps_ref(cfg.rx_filter_taps, cfg.timeslots, cfg.overlap), dt),
         "demap_idx": demap_indices(cfg),
     }
     active = np.zeros(K, dtype=bool)
     active[cfg.subcarrier_map] = True
-    consts["active"] = active
+    c["active"] = active
     half = cfg.active_subcarriers // 2
     offset = 1 if cfg.dc_free else 0
     hi = 2 * (np.arange(half) + offset)
     unused_half = (K - cfg.active_subcarriers) // 2
     lo = 2 * (np.arange(half) + unused_half + K // 2)
-    consts["sig_idx"] = np.concatenate((hi, lo))
-    consts["noise_idx"] = np.concatenate((hi + 1, lo + 1))
-    return consts
+    c["sig_idx"] = np.concatenate((hi, lo))
+    c["noise_idx"] = np.concatenate((hi + 1, lo + 1))
+    return c
 
 
+# ---------------------------------------------------------------------------
+# Tx
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _tx_fn(cfg: GfdmConfig, dtype_name: str):
+    c = _small_consts(cfg, dtype_name)
+
+    @jax.jit
+    def fn(d, T_W):
+        core = pmatmul(d, T_W)  # (..., 2, N)
+        framed = jnp.take(core, jnp.asarray(c["cp_idx"]), axis=-1) * c["win"]
+        framed = jnp.moveaxis(framed, -2, -3)  # (..., n_shifts, 2, W)
+        pre = jnp.broadcast_to(
+            jnp.asarray(c["preambles"]), framed.shape[:-2] + c["preambles"].shape[-2:]
+        )
+        return jnp.concatenate([pre, framed], axis=-1)
+
+    return fn
+
+
+def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32"):
+    """(..., 2, n_data) planar payload -> (..., n_shifts, 2, frame_len)."""
+    return _tx_fn(cfg, dtype_name)(data, _device_mats(cfg, dtype_name)["T_W"])
+
+
+# ---------------------------------------------------------------------------
+# Rx (channel estimation + SNR + ZF + IC + demap)
+# ---------------------------------------------------------------------------
 def _decide_planar(d_grid, points_pl, active):
-    """Nearest-point decision on (..., 2, K, M) grids, zero off active SCs.
-
-    points_pl: (P, 2) planar constellation points.
-    """
+    """Nearest-point decision on (..., 2, K, M) grids, zero off active SCs."""
     r, i = d_grid[..., 0, :, :], d_grid[..., 1, :, :]
     pr = points_pl[:, 0].reshape((-1,) + (1,) * r.ndim)
     pi = points_pl[:, 1].reshape((-1,) + (1,) * r.ndim)
     dist = (r[None] - pr) ** 2 + (i[None] - pi) ** 2
-    idx = jnp.argmin(dist, axis=0)  # (..., K, M)
+    idx = jnp.argmin(dist, axis=0)
     hr = jnp.take(points_pl[:, 0], idx)
     hi_ = jnp.take(points_pl[:, 1], idx)
     mask = jnp.asarray(active)[..., :, None]
-    hr = jnp.where(mask, hr, 0.0)
-    hi_ = jnp.where(mask, hi_, 0.0)
-    return jnp.stack([hr, hi_], axis=-3)  # (..., 2, K, M)
+    return jnp.stack(
+        [jnp.where(mask, hr, 0.0), jnp.where(mask, hi_, 0.0)], axis=-3
+    )
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=32)
 def _receive_fn(
     cfg: GfdmConfig,
     ic_iterations: int,
@@ -132,20 +135,18 @@ def _receive_fn(
     phase_compensation: bool,
     dtype_name: str,
 ):
-    c = _rx_consts(cfg, dtype_name)
+    c = _small_consts(cfg, dtype_name)
     K, M = cfg.subcarriers, cfg.timeslots
-    points_pl = to_planar(np.asarray(constellation))  # (P, 2)? shape (P,2)... stack axis=-2
-    # to_planar gives (2, P) for a 1-D input; transpose to (P, 2)
-    points_pl = np.ascontiguousarray(points_pl.T)
+    points_pl = np.ascontiguousarray(to_planar(np.asarray(constellation)).T)  # (P, 2)
     n_active = cfg.subcarrier_map.size
 
     @jax.jit
-    def fn(bursts):
+    def fn(bursts, mats):
         # bursts: (..., 2, >= frame_len) aligned at full-preamble start
         rx_pre = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K]
-        channel = pmatmul(rx_pre, c["E_W"])  # (..., 2, N)
+        channel = pmatmul(rx_pre, mats["E_W"])  # (..., 2, N)
         # SNR from the 2K preamble FFT
-        F = pmatmul(rx_pre, c["F2_W"])
+        F = pmatmul(rx_pre, mats["F2_W"])
         p = pabs2(F)
         cnrs = jnp.take(p, jnp.asarray(c["sig_idx"]), axis=-1)
         sym = jnp.sum(cnrs, axis=-1)
@@ -155,25 +156,18 @@ def _receive_fn(
 
         start = cfg.preamble_len + cfg.cp_len
         frame = bursts[..., start : start + cfg.block_len]
-        X = pmatmul(frame, c["F_W"])
+        X = pmatmul(frame, mats["F_W"])
         if equalize:
             X = pdiv(X, channel)
-        S = pmatmul(X, c["Bfd_W"])  # (..., 2, N) symbol estimates
+        S = pmatmul(X, mats["Bfd_W"])  # (..., 2, N) symbol estimates
         grid = S.reshape(S.shape[:-1] + (K, M))  # (..., 2, K, M)
 
-        # per-subcarrier M-point FFT on planar grids: treat (K) as batch
-        def fft_m(g):
-            # g: (..., 2, K, M) -> move planes next to M: (..., K, 2, M)
-            gm = jnp.moveaxis(g, -3, -2)
-            out = pmatmul(gm, c["Fm_W"])
-            return jnp.moveaxis(out, -2, -3)
+        # per-subcarrier M-point (I)FFT on planar grids: K acts as batch
+        def fft_m(g, W):
+            gm = jnp.moveaxis(g, -3, -2)  # (..., K, 2, M)
+            return jnp.moveaxis(pmatmul(gm, W), -2, -3)
 
-        def ifft_m(g):
-            gm = jnp.moveaxis(g, -3, -2)
-            out = pmatmul(gm, c["iFm_W"])
-            return jnp.moveaxis(out, -2, -3)
-
-        folded = fft_m(grid)
+        folded = fft_m(grid, mats["Fm_W"])
         d = grid
 
         if phase_compensation and ic_iterations > 0:
@@ -184,11 +178,9 @@ def _receive_fn(
             ang_d = jnp.arctan2(d[..., 1, :, :], d[..., 0, :, :])
             diff = jnp.where(mask & nz, ang_h - ang_d, 0.0)
             phase = jnp.sum(diff, axis=(-2, -1)) / (n_active * M)
-            rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-1)
-            fr = folded[..., 0, :, :]
-            fi = folded[..., 1, :, :]
-            cr = rot[..., 0][..., None, None]
-            ci = rot[..., 1][..., None, None]
+            cr = jnp.cos(phase)[..., None, None]
+            ci = jnp.sin(phase)[..., None, None]
+            fr, fi = folded[..., 0, :, :], folded[..., 1, :, :]
             folded = jnp.stack([fr * cr - fi * ci, fr * ci + fi * cr], axis=-3)
 
         ic_taps = jnp.asarray(c["ic_taps"])  # (2, M)
@@ -197,13 +189,11 @@ def _receive_fn(
             d, folded = carry
             hard = _decide_planar(d, jnp.asarray(points_pl), c["active"])
             neighbors = jnp.roll(hard, 1, axis=-2) + jnp.roll(hard, -1, axis=-2)
-            V = fft_m(neighbors)
-            # V * ic_taps (complex elementwise, taps broadcast over K)
+            V = fft_m(neighbors, mats["Fm_W"])
             vr, vi = V[..., 0, :, :], V[..., 1, :, :]
             tr, ti = ic_taps[0][None, :], ic_taps[1][None, :]
             prod = jnp.stack([vr * tr - vi * ti, vr * ti + vi * tr], axis=-3)
-            cleaned = folded - prod
-            return (ifft_m(cleaned), folded)
+            return (fft_m(folded - prod, mats["iFm_W"]), folded)
 
         d, _ = jax.lax.fori_loop(0, ic_iterations, body, (d, folded))
         symbols = d.reshape(S.shape)
@@ -237,7 +227,7 @@ def receive_bursts_planar(
         bool(phase_compensation),
         dtype_name,
     )
-    return fn(bursts)
+    return fn(bursts, _device_mats(cfg, dtype_name))
 
 
 # ---------------------------------------------------------------------------
@@ -248,18 +238,15 @@ def _detect_consts(cfg: GfdmConfig, dtype_name: str):
     dt = np.dtype(dtype_name)
     x_pre = cfg.core_preamble
     x_pre = x_pre / np.sqrt(np.mean(np.abs(x_pre) ** 2))
-    p = np.conjugate(x_pre)[::-1]  # correlation kernel (conv flips back)
-    # conv kernel (out_ch, in_ch, k): planar complex correlation
-    #   cc = corr(s, x*) : cc_re = s_re*p_re - s_im*p_im ... with p = conj(x)
+    # XLA conv computes cross-correlation (no kernel flip), so the kernel is
+    # conj(x_pre) directly; channels realize the complex product
+    p = np.conjugate(x_pre)
     pr, pi = p.real.astype(dt), p.imag.astype(dt)
-    kernel = np.stack(
-        [np.stack([pr, -pi]), np.stack([pi, pr])]
-    )  # (2 out, 2 in, k)
-    return kernel[:, :, ::-1].copy()  # pre-flip so lax.conv correlates with p
+    return np.stack([np.stack([pr, -pi]), np.stack([pi, pr])])  # (2out, 2in, k)
 
 
-def detect_bursts_planar(cfg: GfdmConfig, stream, dtype_name: str = "float32"):
-    """Planar burst detection: (..., 2, T) -> metadata dict (real arrays)."""
+@lru_cache(maxsize=16)
+def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, dtype_name: str):
     K = cfg.subcarriers
     cp_len = cfg.cp_len
     kernel = _detect_consts(cfg, dtype_name)
@@ -284,11 +271,11 @@ def detect_bursts_planar(cfg: GfdmConfig, stream, dtype_name: str = "float32"):
         )
 
         # --- fine: cross-correlation as a 2-channel real conv ---
-        s_nc = s.reshape((-1, 2, T))  # (batch, chan, length)
+        s_nc = s.reshape((-1, 2, T))
         cc = jax.lax.conv_general_dilated(
             s_nc, jnp.asarray(kernel), (1,), "VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-        )  # (batch, 2, T - p_len + 1)
+        )
         cc = cc.reshape(lead + (2, T - p_len + 1)) / p_len
         n_valid = T - 2 * K
         gated = jnp.sqrt(pabs2(cc))[..., :n_valid] * ic[..., :n_valid]
@@ -303,7 +290,12 @@ def detect_bursts_planar(cfg: GfdmConfig, stream, dtype_name: str = "float32"):
         return {"start": nc, "cfo": cfo, "scale": scale, "strength": peak,
                 "ac_metric": ic}
 
-    return fn(stream)
+    return fn
+
+
+def detect_bursts_planar(cfg: GfdmConfig, stream, dtype_name: str = "float32"):
+    """Planar burst detection: (..., 2, T) -> metadata dict (real arrays)."""
+    return _detect_fn_planar(cfg, int(stream.shape[-1]), dtype_name)(stream)
 
 
 @lru_cache(maxsize=16)
@@ -315,7 +307,7 @@ def _extract_fn_planar(cfg: GfdmConfig, burst_len: int, backoff: int, correct_cf
         T = stream.shape[-1]
         offs = jnp.arange(burst_len)
         idx = start[..., None] + offs - backoff  # (..., burst_len)
-        gather_idx = jnp.clip(idx, 0, T - 1)[..., None, :]  # (..., 1, L)
+        gather_idx = jnp.clip(idx, 0, T - 1)[..., None, :]
         gather_idx = jnp.broadcast_to(
             gather_idx, gather_idx.shape[:-2] + (2, burst_len)
         )
