@@ -22,8 +22,9 @@ import numpy as np
 def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
     import jax
 
-    from gfdm_tpu.ops.planar_pipeline import link_step_planar
+    from gfdm_tpu.ops.planar_pipeline import link_step_planar, prepare
 
+    prepare(cfg)  # upload operator matrices outside the jit trace
     rng = np.random.default_rng(0)
     qpsk = (rng.integers(0, 2, (batch, 2, cfg.n_data_symbols)) * 2 - 1) / np.sqrt(2.0)
     data = jax.device_put(qpsk.astype(np.float32))

@@ -32,6 +32,7 @@ from .sync import moving_sum
 from .tx import demap_indices
 
 __all__ = [
+    "prepare",
     "transmit_planar",
     "receive_bursts_planar",
     "detect_bursts_planar",
@@ -44,10 +45,10 @@ __all__ = [
 # device-resident operator matrices (one transfer per config+dtype)
 # ---------------------------------------------------------------------------
 @lru_cache(maxsize=16)
-def _device_mats(cfg: GfdmConfig, dtype_name: str):
+def _np_mats(cfg: GfdmConfig, dtype_name: str):
     dt = np.dtype(dtype_name)
     K, M = cfg.subcarriers, cfg.timeslots
-    mats = {
+    return {
         "T_W": real_operator(operators.tx_core_operator(cfg).T, dt),
         "E_W": real_operator(operators.channel_estimation_operator(cfg).T, dt),
         "F_W": real_operator(operators.dft_matrix(cfg.block_len).T, dt),
@@ -56,7 +57,45 @@ def _device_mats(cfg: GfdmConfig, dtype_name: str):
         "Fm_W": real_operator(operators.dft_matrix(M).T, dt),
         "iFm_W": real_operator(operators.idft_matrix(M).T, dt),
     }
-    return {k: jax.device_put(v) for k, v in mats.items()}
+
+
+_DEVICE_MATS_CACHE: dict = {}
+
+
+def _tracing_active() -> bool:
+    try:
+        from jax._src import core as _core
+
+        return not _core.trace_state_clean()
+    except Exception:
+        return False
+
+
+def _device_mats(cfg: GfdmConfig, dtype_name: str):
+    """Operator matrices as device arrays, transferred once per config.
+
+    Must never create (or cache) device arrays while a jit/shard_map trace is
+    active - they would be tracer-bound and leak. Under a trace the NumPy
+    matrices are returned instead (they become compile-time constants of the
+    outer program); call prepare() once outside any trace to get the
+    pass-by-argument fast path.
+    """
+    key = (cfg, dtype_name)
+    hit = _DEVICE_MATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mats = _np_mats(cfg, dtype_name)
+    if _tracing_active():
+        return mats
+    mats = {k: jax.device_put(v) for k, v in mats.items()}
+    _DEVICE_MATS_CACHE[key] = mats
+    return mats
+
+
+def prepare(cfg: GfdmConfig, dtype_name: str = "float32") -> None:
+    """Eagerly build + upload all operators (call once, outside jit)."""
+    assert not _tracing_active(), "prepare() must run outside jit"
+    _device_mats(cfg, dtype_name)
 
 
 @lru_cache(maxsize=16)

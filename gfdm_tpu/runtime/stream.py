@@ -1,0 +1,60 @@
+"""Continuous-stream processing: chunked burst reception on one device.
+
+The GR scheduler feeds blocks overlapping stream windows; here a long IQ
+recording is split into fixed chunks with a one-frame lookahead halo so every
+burst is fully contained in exactly one extended chunk, then the batched
+detector/receiver runs over all chunks at once (the intra-device counterpart
+of the cross-device 'sp' sharding in gfdm_tpu.parallel.mesh; cf. the
+reference's partial-burst deferral, extract_burst_cc_impl.cc:214-228).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GfdmConfig
+from .receiver import receive_bursts, receive_stream
+
+__all__ = ["chunk_with_lookahead", "receive_long_stream"]
+
+
+def chunk_with_lookahead(stream, chunk_len: int, halo: int):
+    """(..., T) -> (..., n_chunks, chunk_len + halo) with lookahead overlap.
+
+    The tail chunk's halo is zero-padded (end of recording).
+    """
+    T = stream.shape[-1]
+    n_chunks = T // chunk_len
+    pad = jnp.zeros(stream.shape[:-1] + (halo,), dtype=stream.dtype)
+    padded = jnp.concatenate([stream[..., : n_chunks * chunk_len], pad], axis=-1)
+    idx = (
+        jnp.arange(n_chunks)[:, None] * chunk_len + jnp.arange(chunk_len + halo)[None, :]
+    )
+    return padded[..., idx]
+
+
+def receive_long_stream(
+    cfg: GfdmConfig,
+    stream,
+    chunk_len: int = 2048,
+    ic_iterations: int = 2,
+    min_strength: float = 0.05,
+    correct_cfo: bool = True,
+):
+    """Receive every burst in a long recording.
+
+    Returns the per-chunk receiver outputs plus a ``found`` mask: a chunk
+    yields a burst iff its detection is owned (start < chunk_len) and above
+    the detection threshold.
+    """
+    from ..ops import burst as burst_ops
+    from ..ops import sync as sync_ops
+
+    halo = cfg.frame_len + cfg.cp_len
+    chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
+    det = sync_ops.detect_bursts(cfg, chunks)
+    bursts = burst_ops.extract_bursts(cfg, chunks, det, correct_cfo=correct_cfo)
+    out = receive_bursts(cfg, bursts, ic_iterations=ic_iterations)
+    out["detection"] = det
+    out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)
+    return out
