@@ -1,0 +1,206 @@
+"""ctypes bindings for the native host runtime (native/gfdm_host.cpp).
+
+Provides wire-format conversion (sc16/cf32 <-> planar float32), payload bit
+packing, and a stream ring buffer that frames continuous IQ into extended
+chunk batches for the TPU receiver. Falls back to NumPy implementations when
+the shared library is missing (build it with ``make -C native``).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "sc16_to_planar",
+    "planar_to_sc16",
+    "bits_to_qpsk_planar",
+    "qpsk_planar_to_bits",
+    "StreamBuffer",
+]
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libgfdm_host.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        # best-effort build (g++ is in the image)
+        native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(native_dir)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64, f32p, i16p, u8p = (
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8),
+    )
+    lib.gfdm_sc16_to_planar.argtypes = [i16p, f32p, f32p, i64, ctypes.c_float]
+    lib.gfdm_planar_to_sc16.argtypes = [f32p, f32p, i16p, i64, ctypes.c_float]
+    lib.gfdm_bits_to_qpsk_planar.argtypes = [u8p, f32p, f32p, i64]
+    lib.gfdm_qpsk_planar_to_bits.argtypes = [f32p, f32p, u8p, i64]
+    lib.gfdm_stream_create.restype = ctypes.c_void_p
+    lib.gfdm_stream_create.argtypes = [i64, i64, i64]
+    lib.gfdm_stream_destroy.argtypes = [ctypes.c_void_p]
+    lib.gfdm_stream_push.restype = i64
+    lib.gfdm_stream_push.argtypes = [ctypes.c_void_p, f32p, f32p, i64]
+    lib.gfdm_stream_available_chunks.restype = i64
+    lib.gfdm_stream_available_chunks.argtypes = [ctypes.c_void_p]
+    lib.gfdm_stream_pull.restype = i64
+    lib.gfdm_stream_pull.argtypes = [
+        ctypes.c_void_p, f32p, i64, ctypes.POINTER(i64)
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+SC16_SCALE = float(2**15 - 1)
+
+
+def sc16_to_planar(raw: np.ndarray, scale: float = SC16_SCALE) -> np.ndarray:
+    """Interleaved int16 IQ -> (2, n) planar float32."""
+    raw = np.ascontiguousarray(raw, dtype=np.int16)
+    n = raw.size // 2
+    out = np.empty((2, n), dtype=np.float32)
+    lib = _load()
+    if lib is None:
+        f = raw.astype(np.float32).reshape(-1, 2) / scale
+        out[0], out[1] = f[:, 0], f[:, 1]
+        return out
+    lib.gfdm_sc16_to_planar(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _f32(out[0]), _f32(out[1]), n, scale,
+    )
+    return out
+
+
+def planar_to_sc16(planar: np.ndarray, scale: float = SC16_SCALE) -> np.ndarray:
+    """(2, n) planar float32 -> interleaved int16 IQ."""
+    planar = np.ascontiguousarray(planar, dtype=np.float32)
+    n = planar.shape[-1]
+    out = np.empty(2 * n, dtype=np.int16)
+    lib = _load()
+    if lib is None:
+        out[0::2] = np.clip(np.round(planar[0] * scale), -32768, 32767)
+        out[1::2] = np.clip(np.round(planar[1] * scale), -32768, 32767)
+        return out
+    lib.gfdm_planar_to_sc16(
+        _f32(planar[0]), _f32(planar[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, scale,
+    )
+    return out
+
+
+def bits_to_qpsk_planar(bits: np.ndarray) -> np.ndarray:
+    """(n, 2) 0/1 bits -> (2, n) planar unit-energy QPSK."""
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    n = bits.shape[0]
+    out = np.empty((2, n), dtype=np.float32)
+    lib = _load()
+    if lib is None:
+        a = 1.0 / np.sqrt(2.0)
+        out[0] = np.where(bits[:, 0] > 0, -a, a)
+        out[1] = np.where(bits[:, 1] > 0, -a, a)
+        return out
+    lib.gfdm_bits_to_qpsk_planar(
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _f32(out[0]), _f32(out[1]), n,
+    )
+    return out
+
+
+def qpsk_planar_to_bits(planar: np.ndarray) -> np.ndarray:
+    """(2, n) planar symbols -> (n, 2) hard bits."""
+    planar = np.ascontiguousarray(planar, dtype=np.float32)
+    n = planar.shape[-1]
+    out = np.empty((n, 2), dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        out[:, 0] = planar[0] < 0
+        out[:, 1] = planar[1] < 0
+        return out
+    lib.gfdm_qpsk_planar_to_bits(
+        _f32(planar[0]), _f32(planar[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+    )
+    return out
+
+
+class StreamBuffer:
+    """Native SPSC ring buffer framing IQ streams into extended chunks.
+
+    push() planar samples from the radio thread; pull() returns batches of
+    shape (n_chunks, 2, chunk_len + halo) ready for the batched TPU receiver
+    (the role GNU Radio's ring buffers + set_output_multiple played in the
+    reference). Overflow drops the oldest whole chunks.
+    """
+
+    def __init__(self, capacity: int, chunk_len: int, halo: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native library unavailable; build it with `make -C native`"
+            )
+        self._lib = lib
+        self.chunk_len = int(chunk_len)
+        self.halo = int(halo)
+        self._h = ctypes.c_void_p(
+            lib.gfdm_stream_create(int(capacity), int(chunk_len), int(halo))
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.gfdm_stream_destroy(h)
+            self._h = None
+
+    def push(self, planar: np.ndarray) -> int:
+        """Push (2, n) planar samples; returns total dropped samples."""
+        planar = np.ascontiguousarray(planar, dtype=np.float32)
+        return int(
+            self._lib.gfdm_stream_push(
+                self._h, _f32(planar[0]), _f32(planar[1]), planar.shape[-1]
+            )
+        )
+
+    @property
+    def available_chunks(self) -> int:
+        return int(self._lib.gfdm_stream_available_chunks(self._h))
+
+    def pull(self, max_chunks: int):
+        """-> ((n, 2, chunk_len+halo) float32, absolute sample offset)."""
+        ext = self.chunk_len + self.halo
+        out = np.empty((max_chunks, 2, ext), dtype=np.float32)
+        base = ctypes.c_int64(0)
+        n = int(
+            self._lib.gfdm_stream_pull(
+                self._h, _f32(out.reshape(-1)), int(max_chunks), ctypes.byref(base)
+            )
+        )
+        return out[:n], int(base.value)

@@ -1,0 +1,105 @@
+"""Native host runtime tests (conversion, bit packing, stream ring buffer)."""
+import numpy as np
+import pytest
+
+from gfdm_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+def test_sc16_planar_roundtrip():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 500)) * 0.2).astype(np.float32)
+    raw = native.planar_to_sc16(x)
+    assert raw.dtype == np.int16 and raw.size == 1000
+    back = native.sc16_to_planar(raw)
+    np.testing.assert_allclose(back, x, atol=1e-4)
+    # interleaving convention matches utils.converter
+    from gfdm_tpu.utils import sc16_to_cf64
+
+    c = sc16_to_cf64(raw)
+    np.testing.assert_allclose(c.real, x[0], atol=1e-4)
+    np.testing.assert_allclose(c.imag, x[1], atol=1e-4)
+
+
+def test_bits_qpsk_roundtrip():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, (333, 2)).astype(np.uint8)
+    sym = native.bits_to_qpsk_planar(bits)
+    np.testing.assert_allclose(np.sum(sym**2, axis=0), 1.0, atol=1e-6)
+    back = native.qpsk_planar_to_bits(sym)
+    np.testing.assert_array_equal(back, bits)
+
+
+def test_stream_buffer_framing():
+    chunk, halo = 64, 16
+    sb = native.StreamBuffer(capacity=1024, chunk_len=chunk, halo=halo)
+    # ramp signal to verify sample alignment
+    total = 300
+    sig = np.stack([np.arange(total, dtype=np.float32), -np.arange(total, dtype=np.float32)])
+    sb.push(sig[:, :100])
+    sb.push(sig[:, 100:])
+    # 300 samples -> floor((300-halo)/chunk) = 4 chunks
+    assert sb.available_chunks == 4
+    chunks, base = sb.pull(10)
+    assert base == 0
+    assert chunks.shape == (4, 2, chunk + halo)
+    for c in range(4):
+        np.testing.assert_array_equal(
+            chunks[c, 0], np.arange(c * chunk, c * chunk + chunk + halo)
+        )
+        np.testing.assert_array_equal(
+            chunks[c, 1], -np.arange(c * chunk, c * chunk + chunk + halo)
+        )
+    assert sb.available_chunks == 0
+
+
+def test_stream_buffer_overflow_drops_oldest():
+    chunk, halo = 32, 8
+    sb = native.StreamBuffer(capacity=128, chunk_len=chunk, halo=halo)
+    sig = np.stack([np.arange(400, dtype=np.float32)] * 2)
+    dropped = sb.push(sig)
+    assert dropped > 0
+    chunks, base = sb.pull(100)
+    assert chunks.shape[0] >= 1
+    # pulled data is contiguous and from the most recent window
+    first = chunks[0, 0, 0]
+    np.testing.assert_array_equal(
+        chunks[0, 0], np.arange(first, first + chunk + halo)
+    )
+    assert base == int(first)
+
+
+def test_stream_buffer_feeds_receiver():
+    """End-to-end: native framing -> TPU batched receiver finds the burst."""
+    import jax.numpy as jnp
+
+    from gfdm_tpu import GfdmConfig
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.ops import planar_pipeline as pp
+    from gfdm_tpu.ops import tx as tx_ops
+    from gfdm_tpu.ref import utils
+
+    cfg = GfdmConfig()
+    chunk_len = 2048
+    halo = cfg.frame_len + cfg.cp_len
+    data = utils.random_qpsk(cfg.n_data_symbols, seed=3).astype(np.complex64)
+    burst = np.asarray(tx_ops.transmit(cfg, data[None]))[0, 0]
+    stream = np.zeros(3 * chunk_len, dtype=np.complex64)
+    stream[500 : 500 + cfg.frame_len] = burst
+    planar_stream = pl.to_planar(stream)
+
+    sb = native.StreamBuffer(capacity=8 * chunk_len, chunk_len=chunk_len, halo=halo)
+    sb.push(planar_stream)
+    chunks, base = sb.pull(8)
+    assert chunks.shape[0] == 2 and base == 0
+
+    det = pp.detect_bursts_planar(cfg, jnp.asarray(chunks))
+    starts = np.asarray(det["start"])
+    assert starts[0] == 500 + cfg.cp_len
+    bursts = pp.extract_bursts_planar(cfg, jnp.asarray(chunks), det)
+    out = pp.receive_bursts_planar(cfg, bursts, ic_iterations=2)
+    d_hat = pl.from_planar(np.asarray(out["data"]))[0]
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
