@@ -42,41 +42,66 @@ def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
     return dt, evm
 
 
-def _bench_cpu_golden(cfg, frames=32):
-    """Single-core NumPy golden model: the same Tx+Rx chain per frame."""
-    from gfdm_tpu.ref import demodulation as demod_ref
-    from gfdm_tpu.ref import mapping as map_ref
-    from gfdm_tpu.ref import modulation as mod_ref
+def _bench_cpu_golden(cfg, batch=512, iters=4):
+    """Optimized CPU reference: the same end-to-end chain, fully vectorized
+    NumPy (pocketfft batch FFTs + BLAS matmuls) over a burst batch in
+    complex64 - the strongest CPU implementation we can field as a stand-in
+    for the reference's FFTW/VOLK kernels."""
+    from gfdm_tpu.ops import operators
+    from gfdm_tpu.ops.tx import demap_indices
     from gfdm_tpu.ref import utils
-    from gfdm_tpu.ref.channel_estimation import PreambleChannelEstimator
-    from gfdm_tpu.ref.cyclic_prefix import add_cyclic_prefix
 
-    est = PreambleChannelEstimator(
-        cfg.timeslots, cfg.subcarriers, cfg.active_subcarriers, cfg.dc_free,
-        cfg.core_preamble,
-    )
-    data = [utils.random_qpsk(cfg.n_data_symbols, seed=i) for i in range(frames)]
-    smap = cfg.subcarrier_map
+    K, M, N = cfg.subcarriers, cfg.timeslots, cfg.block_len
+    L = cfg.overlap
+    rng = np.random.default_rng(0)
+    d = utils.random_qpsk(batch * cfg.n_data_symbols, seed=1)
+    data = d.reshape(batch, -1).astype(np.complex64)
 
+    # precomputed constants (mirror of the kernels' ctor work)
+    map_idx = np.full(N, cfg.n_data_symbols, dtype=np.int64)
+    rows, cols = np.nonzero(operators.mapping_matrix(cfg).real)
+    map_idx[rows] = cols
+    dmap_idx = demap_indices(cfg)
+    cp_idx = operators.cp_indices(cfg, 0)
+    win = operators.cp_window(cfg).astype(np.float32)
+    tx_parts = cfg.tx_filter_taps.reshape(L, M).astype(np.complex64)
+    rx_parts = cfg.rx_filter_taps.reshape(L, M).astype(np.complex64)
+    pre = cfg.full_preambles[0].astype(np.complex64)
+    E_T = operators.channel_estimation_operator(cfg).T.astype(np.complex64)
+
+    def chain(data):
+        padded = np.concatenate(
+            [data, np.zeros((batch, 1), np.complex64)], axis=1
+        )
+        grid = padded[:, map_idx].reshape(batch, K, M)
+        # sparse-FD modulator (vectorized reference algorithm)
+        W = np.fft.fft(grid, axis=2)
+        X = np.zeros((batch, K, M), np.complex64)
+        for i in range(L):
+            X += np.roll(W, i - L // 2, axis=1) * tx_parts[(i + L // 2) % L]
+        x = np.fft.ifft(X.reshape(batch, N), axis=1)
+        framed = x[:, cp_idx] * win
+        burst = np.concatenate(
+            [np.broadcast_to(pre, (batch, pre.size)), framed], axis=1
+        )
+        # receiver
+        rx_pre = burst[:, cfg.cp_len : cfg.cp_len + 2 * K]
+        chan = rx_pre @ E_T
+        frame = burst[:, cfg.preamble_len + cfg.cp_len :][:, :N]
+        Xf = np.fft.fft(frame, axis=1) / chan
+        Xb = Xf.reshape(batch, K, M)
+        S = np.zeros((batch, K, M), np.complex64)
+        for i in range(L):
+            S += np.roll(Xb, -(i - L // 2), axis=1) * rx_parts[(i + L // 2) % L]
+        syms = np.fft.ifft(S, axis=2).reshape(batch, N)
+        return syms[:, dmap_idx]
+
+    chain(data)  # warmup
     t0 = time.perf_counter()
-    for d in data:
-        grid = map_ref.map_to_resources(d, cfg.timeslots, cfg.subcarriers, smap)
-        x = mod_ref.modulate_block(grid, cfg.tx_filter_taps, cfg.overlap)
-        framed = add_cyclic_prefix(
-            x, cfg.cp_len, cfg.cs_len, cfg.window_taps, cfg.ramp_len
-        )
-        burst = np.concatenate((cfg.full_preambles[0], framed))
-        # receive
-        rx_pre = burst[cfg.cp_len : cfg.cp_len + 2 * cfg.subcarriers]
-        chan = est.estimate_frame(rx_pre)
-        frame = burst[cfg.preamble_len + cfg.cp_len :][: cfg.block_len]
-        syms = demod_ref.demodulate_block(
-            frame, cfg.rx_filter_taps, cfg.overlap, channel_fd=chan
-        )
-        _ = map_ref.demap_from_resources(
-            syms.reshape(cfg.subcarriers, cfg.timeslots), cfg.timeslots, smap
-        )
-    dt = (time.perf_counter() - t0) / frames
+    for _ in range(iters):
+        out = chain(data)
+    dt = (time.perf_counter() - t0) / (iters * batch)
+    assert np.isfinite(out).all()
     return dt
 
 
@@ -84,7 +109,7 @@ def main():
     from gfdm_tpu import GfdmConfig
 
     cfg = GfdmConfig()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     cpu_dt_per_frame = _bench_cpu_golden(cfg)
