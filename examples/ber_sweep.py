@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""BER/EVM over SNR (TPU-batched replacement of pygfdm's testsuite sweep)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# The complex-dtype convenience path needs host<->device complex transfers,
+# which this image's TPU tunnel lacks - examples default to CPU. Set
+# GFDM_EXAMPLE_DEVICE=tpu to try the accelerator anyway.
+import os as _os
+
+import jax as _jax
+
+if _os.environ.get("GFDM_EXAMPLE_DEVICE", "cpu") == "cpu":
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import numpy as np  # noqa: E402
+
+from gfdm_tpu import GfdmConfig  # noqa: E402
+from gfdm_tpu.eval import ber_sweep  # noqa: E402
+
+
+def main():
+    cfg = GfdmConfig()
+    snrs = np.arange(0, 22, 3, dtype=float)
+    res = ber_sweep(cfg, snrs, bursts_per_point=256, ic_iterations=2)
+    print(f"{'SNR dB':>7} {'BER':>10} {'EVM':>8} {'est SNR dB':>11}")
+    for i, s in enumerate(res["snr_db"]):
+        print(f"{s:7.1f} {res['ber'][i]:10.2e} {res['evm'][i]:8.4f} "
+              f"{res['snr_est_db'][i]:11.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+"""Pallas TPU kernels for the hot fused paths."""
+from .fused import rx_core_fused, tx_frame_fused  # noqa: F401

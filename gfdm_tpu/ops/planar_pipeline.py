@@ -285,7 +285,7 @@ def _detect_consts(cfg: GfdmConfig, dtype_name: str):
 
 
 @lru_cache(maxsize=16)
-def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, dtype_name: str):
+def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype_name: str):
     K = cfg.subcarriers
     cp_len = cfg.cp_len
     kernel = _detect_consts(cfg, dtype_name)
@@ -316,7 +316,7 @@ def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, dtype_name: str):
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
         cc = cc.reshape(lead + (2, T - p_len + 1)) / p_len
-        n_valid = T - 2 * K
+        n_valid = min(T - 2 * K, search_limit)
         gated = jnp.sqrt(pabs2(cc))[..., :n_valid] * ic[..., :n_valid]
 
         nc = jnp.argmax(gated, axis=-1)
@@ -332,9 +332,16 @@ def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, dtype_name: str):
     return fn
 
 
-def detect_bursts_planar(cfg: GfdmConfig, stream, dtype_name: str = "float32"):
-    """Planar burst detection: (..., 2, T) -> metadata dict (real arrays)."""
-    return _detect_fn_planar(cfg, int(stream.shape[-1]), dtype_name)(stream)
+def detect_bursts_planar(cfg: GfdmConfig, stream, search_limit: int | None = None,
+                         dtype_name: str = "float32"):
+    """Planar burst detection: (..., 2, T) -> metadata dict (real arrays).
+
+    ``search_limit`` restricts the detection argmax to owned positions when
+    the chunk carries a lookahead halo (see ops.sync.detect_bursts).
+    """
+    T = int(stream.shape[-1])
+    limit = T if search_limit is None else int(search_limit)
+    return _detect_fn_planar(cfg, T, limit, dtype_name)(stream)
 
 
 @lru_cache(maxsize=16)

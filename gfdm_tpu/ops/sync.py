@@ -38,7 +38,7 @@ def moving_sum(x, window: int):
 
 
 @lru_cache(maxsize=16)
-def _detect_fn(cfg: GfdmConfig, chunk_len: int, dtype):
+def _detect_fn(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype):
     K = cfg.subcarriers
     cp_len = cfg.cp_len
     x_pre = cfg.core_preamble
@@ -67,7 +67,7 @@ def _detect_fn(cfg: GfdmConfig, chunk_len: int, dtype):
         # --- fine: FFT cross-correlation with the core preamble -----------
         S = jnp.fft.fft(s, n_fft, axis=-1)
         cc = jnp.fft.ifft(S * Xp, axis=-1)[..., : T - p_len] / p_len
-        n_valid = T - 2 * K
+        n_valid = min(T - 2 * K, search_limit)
         gated = jnp.abs(cc[..., :n_valid]) * ic[..., :n_valid]
 
         nc = jnp.argmax(gated, axis=-1)
@@ -87,11 +87,18 @@ def _detect_fn(cfg: GfdmConfig, chunk_len: int, dtype):
     return fn
 
 
-def detect_bursts(cfg: GfdmConfig, stream, dtype=DEFAULT_DTYPE):
+def detect_bursts(cfg: GfdmConfig, stream, search_limit: int | None = None,
+                  dtype=DEFAULT_DTYPE):
     """(..., T) IQ stream chunks -> per-chunk burst detection metadata.
 
     ``start`` indexes the first sample of the 2K core preamble; the full
-    windowed preamble begins cp_len samples earlier.
+    windowed preamble begins cp_len samples earlier. When the chunk carries a
+    lookahead halo (so boundary-straddling bursts are complete), pass
+    ``search_limit=chunk_len`` to restrict the detection argmax to positions
+    this chunk owns - the halo then only completes bursts, it cannot shadow
+    the owned one with a neighbour's preamble.
     """
     stream = jnp.asarray(stream)
-    return _detect_fn(cfg, int(stream.shape[-1]), dtype)(stream)
+    T = int(stream.shape[-1])
+    limit = T if search_limit is None else int(search_limit)
+    return _detect_fn(cfg, T, limit, dtype)(stream)

@@ -119,8 +119,8 @@ def detect_bursts_sharded(
     def _shard_fn(local):
         # local: (batch/dp, chunk_len) or (batch/dp, 2, chunk_len)
         extended = halo_exchange_right(local, halo, "sp")
-        det = detect(cfg, extended)
-        owned = det["start"] < chunk_len  # neighbour owns bursts beyond edge
+        det = detect(cfg, extended, chunk_len)
+        owned = det["start"] < chunk_len  # always true with limited search
         bursts = extract(cfg, extended, det)
         out_det = {
             "start": det["start"][..., None],

@@ -52,7 +52,7 @@ def receive_long_stream(
 
     halo = cfg.frame_len + cfg.cp_len
     chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
-    det = sync_ops.detect_bursts(cfg, chunks)
+    det = sync_ops.detect_bursts(cfg, chunks, search_limit=chunk_len)
     bursts = burst_ops.extract_bursts(cfg, chunks, det, correct_cfo=correct_cfo)
     out = receive_bursts(cfg, bursts, ic_iterations=ic_iterations)
     out["detection"] = det

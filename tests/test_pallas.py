@@ -1,0 +1,43 @@
+"""Pallas fused kernels vs the XLA planar pipeline (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+
+from gfdm_tpu import GfdmConfig
+from gfdm_tpu.kernels import rx_core_fused, tx_frame_fused
+from gfdm_tpu.ops import planar as pl_ops
+from gfdm_tpu.ops.planar_pipeline import _device_mats, transmit_planar
+from gfdm_tpu.ops.planar import pdiv, pmatmul
+from gfdm_tpu.ref import utils
+
+CFG = GfdmConfig()
+
+
+def _planar_payload(batch, seed=0):
+    d = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=seed + i) for i in range(batch)]
+    ).astype(np.complex64)
+    return jnp.asarray(pl_ops.to_planar(d))
+
+
+def test_tx_fused_matches_xla():
+    data = _planar_payload(8, seed=0)
+    ref = np.asarray(transmit_planar(CFG, data))[:, 0]
+    got = np.asarray(tx_frame_fused(CFG, data, block=4))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_rx_core_fused_matches_xla():
+    data = _planar_payload(8, seed=20)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    n = CFG.block_len
+    start = CFG.preamble_len + CFG.cp_len
+    frames = bursts[..., start : start + n]
+    # synthetic smooth channel
+    h = np.fft.fft(np.array([1.0, 0.3 + 0.2j, 0.1]), n).astype(np.complex64)
+    chan = jnp.asarray(
+        np.broadcast_to(pl_ops.to_planar(h), (8, 2, n)).copy()
+    )
+    mats = _device_mats(CFG, "float32")
+    ref = pmatmul(pdiv(pmatmul(frames, mats["F_W"]), chan), mats["Bfd_W"])
+    got = rx_core_fused(CFG, frames, chan, block=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
