@@ -1,2 +1,3 @@
-"""Link evaluation harnesses (BER sweeps, SNR studies)."""
+"""Link evaluation harnesses (BER sweeps, SNR studies, plotting)."""
 from .ber import ber_sweep  # noqa: F401
+from .snr_study import snr_estimator_study  # noqa: F401

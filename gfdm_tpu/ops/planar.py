@@ -83,12 +83,20 @@ def _pack(r, i):
 
 
 def pmatmul(x, W_real, preferred_element_type=None):
-    """Planar complex matmul: (..., 2, n) @ realified (2n, 2m) -> (..., 2, m)."""
+    """Planar complex matmul: (..., 2, n) @ realified (2n, 2m) -> (..., 2, m).
+
+    If the operator is bfloat16, the activation is cast to bfloat16 for the
+    MXU and accumulated in float32 (the 4x-throughput fast mode).
+    """
     n2 = x.shape[-1] * 2
     flat = x.reshape(x.shape[:-2] + (n2,))
+    out_dtype = x.dtype
+    if W_real.dtype == jnp.bfloat16:
+        flat = flat.astype(jnp.bfloat16)
+        if preferred_element_type is None:
+            preferred_element_type = jnp.float32
     y = jnp.matmul(flat, W_real, preferred_element_type=preferred_element_type)
-    if preferred_element_type is not None:
-        y = y.astype(x.dtype)
+    y = y.astype(out_dtype)
     return y.reshape(x.shape[:-2] + (2, W_real.shape[-1] // 2))
 
 

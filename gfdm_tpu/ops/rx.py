@@ -27,6 +27,9 @@ __all__ = [
     "remove_cyclic_prefix",
     "demodulate",
     "demodulate_equalized",
+    "fd_filter_downsample",
+    "subcarriers_to_time",
+    "cancel_interference",
     "ic_receiver",
     "demap_resources",
     "qpsk_constellation",
@@ -74,6 +77,64 @@ def demodulate_equalized(cfg: GfdmConfig, frames, channel_fd, dtype=DEFAULT_DTYP
     """
     return _demod_fns(cfg, dtype)[1](
         jnp.asarray(frames, dtype=dtype), jnp.asarray(channel_fd, dtype=dtype)
+    )
+
+
+@lru_cache(maxsize=16)
+def _step_fns(cfg: GfdmConfig, dtype):
+    """Step-wise receiver API, mirroring the reference's pybind Demodulator
+    surface (fft_filter_downsample / transform_subcarriers_to_td /
+    cancel_sc_interference, python/bindings/demodulator_python.cc:31-206)."""
+    K, M = cfg.subcarriers, cfg.timeslots
+    F_T = operators.dft_matrix(cfg.block_len).T.astype(np.dtype(dtype))
+    Fm_T = operators.dft_matrix(M).T.astype(np.dtype(dtype))
+    iFm_T = operators.idft_matrix(M).T.astype(np.dtype(dtype))
+    ic_taps = _ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap).astype(np.dtype(dtype))
+    parts = cfg.rx_filter_taps.reshape(cfg.overlap, M).astype(np.dtype(dtype))
+    L = cfg.overlap
+
+    @jax.jit
+    def fold(frames, channel_fd):
+        X = frames @ F_T
+        if channel_fd is not None:
+            X = X / channel_fd
+        Xb = X.reshape(X.shape[:-1] + (K, M))
+        S = jnp.zeros_like(Xb)
+        for i in range(L):
+            S = S + jnp.roll(Xb, -(i - L // 2), axis=-2) * parts[(i + L // 2) % L]
+        return S
+
+    @jax.jit
+    def to_time(S):
+        return (S @ iFm_T).reshape(S.shape[:-2] + (K * M,))
+
+    @jax.jit
+    def cancel(detected_td, folded_fd):
+        grid = detected_td.reshape(detected_td.shape[:-1] + (K, M))
+        neighbors = jnp.roll(grid, 1, axis=-2) + jnp.roll(grid, -1, axis=-2)
+        V = neighbors @ Fm_T
+        return folded_fd - V * ic_taps
+
+    return fold, to_time, cancel
+
+
+def fd_filter_downsample(cfg: GfdmConfig, frames, channel_fd=None, dtype=DEFAULT_DTYPE):
+    """(..., M*K) frame -> (..., K, M) folded FD symbols (optional ZF)."""
+    frames = jnp.asarray(frames, dtype=dtype)
+    if channel_fd is not None:
+        channel_fd = jnp.asarray(channel_fd, dtype=dtype)
+    return _step_fns(cfg, dtype)[0](frames, channel_fd)
+
+
+def subcarriers_to_time(cfg: GfdmConfig, folded, dtype=DEFAULT_DTYPE):
+    """(..., K, M) folded FD symbols -> (..., M*K) time-domain symbols."""
+    return _step_fns(cfg, dtype)[1](jnp.asarray(folded, dtype=dtype))
+
+
+def cancel_interference(cfg: GfdmConfig, detected, folded, dtype=DEFAULT_DTYPE):
+    """One IC pass: subtract FFT(neighbor sum) x ic_taps from folded FD."""
+    return _step_fns(cfg, dtype)[2](
+        jnp.asarray(detected, dtype=dtype), jnp.asarray(folded, dtype=dtype)
     )
 
 

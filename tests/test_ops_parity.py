@@ -242,3 +242,26 @@ def test_estimated_channel_equalizes_frame():
     # hard decisions correct and EVM small despite MF self-interference
     assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-6
     assert utils.evm(d_hat, data) < 0.3
+
+
+def test_stepwise_receiver_api_matches_golden():
+    """fd_filter_downsample / subcarriers_to_time / cancel_interference
+    (the pybind Demodulator step-wise surface) vs golden model."""
+    frames = _rand_grids(CFG, 2, seed=300)
+    S = np.asarray(rx.fd_filter_downsample(CFG, frames))
+    d_td = np.asarray(rx.subcarriers_to_time(CFG, S))
+    for b in range(2):
+        S_ref = demod_ref.fd_filter_downsample(frames[b], CFG.rx_filter_taps, CFG.overlap)
+        np.testing.assert_allclose(S[b], S_ref, atol=3e-5)
+        np.testing.assert_allclose(
+            d_td[b], demod_ref.subcarriers_to_time(S_ref).reshape(-1), atol=3e-5
+        )
+    detected = utils.qpsk_hard_map(d_td)
+    cleaned = np.asarray(rx.cancel_interference(CFG, detected, S))
+    ic_taps = demod_ref.ic_filter_taps(CFG.rx_filter_taps, CFG.timeslots, CFG.overlap)
+    for b in range(2):
+        S_ref = demod_ref.fd_filter_downsample(frames[b], CFG.rx_filter_taps, CFG.overlap)
+        ref = demod_ref.cancel_sc_interference(
+            detected[b].reshape(CFG.subcarriers, CFG.timeslots), S_ref, ic_taps
+        )
+        np.testing.assert_allclose(cleaned[b], ref, atol=3e-5)
