@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import GfdmConfig
 
-__all__ = ["detect_bursts", "moving_sum"]
+__all__ = ["detect_bursts", "detect_bursts_topk", "moving_sum"]
 
 DEFAULT_DTYPE = jnp.complex64
 
@@ -85,6 +85,86 @@ def _detect_fn(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype):
         }
 
     return fn
+
+
+@lru_cache(maxsize=16)
+def _detect_topk_fn(cfg: GfdmConfig, chunk_len: int, search_limit: int,
+                    max_bursts: int, min_distance: int, dtype):
+    K = cfg.subcarriers
+    cp_len = cfg.cp_len
+    x_pre = cfg.core_preamble
+    x_pre = x_pre / np.sqrt(np.mean(np.abs(x_pre) ** 2))
+    n_fft = int(2 ** np.ceil(np.log2(chunk_len)))
+    Xp = np.conjugate(np.fft.fft(x_pre, n_fft)).astype(np.dtype(dtype))
+    p_len = x_pre.size
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+
+    @jax.jit
+    def fn(s):
+        s = s.astype(dtype)
+        T = s.shape[-1]
+        c = jnp.conjugate(s[..., :-K]) * s[..., K:]
+        p = moving_sum(c, K)[..., : T - 2 * K]
+        energy = moving_sum(jnp.abs(s).astype(real_dtype) ** 2, 2 * K)[..., : T - 2 * K]
+        ac = 2.0 * p / jnp.maximum(energy, 1e-30).astype(dtype)
+        ac_mag = jnp.abs(ac)
+        pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), dtype=ac_mag.dtype)
+        ic = moving_sum(jnp.concatenate([pad, ac_mag], axis=-1), cp_len + 1) / (
+            cp_len + 1
+        )
+        S = jnp.fft.fft(s, n_fft, axis=-1)
+        cc = jnp.fft.ifft(S * jnp.asarray(Xp), axis=-1)[..., : T - p_len] / p_len
+        n_valid = min(T - 2 * K, search_limit)
+        gated = jnp.abs(cc[..., :n_valid]) * ic[..., :n_valid]
+        pos = jnp.arange(n_valid)
+
+        def body(carry, _):
+            g = carry
+            nc = jnp.argmax(g, axis=-1)
+            peak = jnp.take_along_axis(g, nc[..., None], axis=-1)[..., 0]
+            # suppress +- min_distance around the found peak
+            mask = jnp.abs(pos - nc[..., None]) < min_distance
+            g = jnp.where(mask, 0.0, g)
+            return g, (nc, peak)
+
+        _, (ncs, peaks) = jax.lax.scan(body, gated, None, length=max_bursts)
+        ncs = jnp.moveaxis(ncs, 0, -1)  # (..., max_bursts)
+        peaks = jnp.moveaxis(peaks, 0, -1)
+        ac_at = jnp.take_along_axis(ac, ncs, axis=-1)
+        e_at = jnp.take_along_axis(energy, ncs, axis=-1)
+        return {
+            "start": ncs,
+            "cfo": jnp.angle(ac_at) / (2.0 * jnp.pi),
+            "scale": jnp.sqrt(p_len / jnp.maximum(e_at, 1e-30)),
+            "strength": peaks,
+        }
+
+    return fn
+
+
+def detect_bursts_topk(
+    cfg: GfdmConfig,
+    stream,
+    max_bursts: int,
+    search_limit: int | None = None,
+    min_distance: int | None = None,
+    dtype=DEFAULT_DTYPE,
+):
+    """Detect up to ``max_bursts`` bursts per chunk, strongest first.
+
+    Iterative peak picking with +-min_distance suppression (defaults to one
+    frame length) - the static-shape counterpart of the reference processing
+    several detector tags per work() call
+    (extract_burst_cc_impl.cc:131-149). Entries beyond the real burst count
+    have near-zero ``strength``; filter with a threshold.
+    """
+    stream = jnp.asarray(stream)
+    T = int(stream.shape[-1])
+    limit = T if search_limit is None else int(search_limit)
+    if min_distance is None:
+        min_distance = cfg.frame_len
+    fn = _detect_topk_fn(cfg, T, limit, int(max_bursts), int(min_distance), dtype)
+    return fn(stream)
 
 
 def detect_bursts(cfg: GfdmConfig, stream, search_limit: int | None = None,

@@ -142,3 +142,24 @@ def test_cdd_two_antenna_combining():
     hard = utils.qpsk_hard_map(d_hat)
     ber_proxy = np.mean(np.abs(hard - data) > 0.1)
     assert ber_proxy < 0.05
+
+
+def test_detect_topk_multiple_bursts_in_chunk():
+    """Three bursts in one long chunk found by iterative peak suppression."""
+    from gfdm_tpu.ops.sync import detect_bursts_topk
+
+    data = _payloads(CFG, 3, seed=77)
+    bursts = np.asarray(transmit_bursts(CFG, data, dtype=jnp.complex128))[:, 0, :]
+    T = 8192
+    stream = np.zeros((1, T), dtype=np.complex128)
+    offsets = [500, 3000, 6200]
+    for b, off in zip(bursts, offsets):
+        stream[0, off : off + CFG.frame_len] = b
+    stream = np.asarray(chan.awgn(jax.random.PRNGKey(3), jnp.asarray(stream), 20.0))
+
+    det = detect_bursts_topk(CFG, stream, max_bursts=4)
+    starts = np.sort(np.asarray(det["start"])[0][:3])
+    expected = np.asarray(offsets) + CFG.cp_len
+    np.testing.assert_allclose(np.sort(starts), expected, atol=2)
+    s = np.asarray(det["strength"])[0]
+    assert np.min(s[:3]) > 3 * s[3]  # 4th "burst" is noise floor
