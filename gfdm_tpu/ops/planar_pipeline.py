@@ -50,12 +50,30 @@ def _np_mats(cfg: GfdmConfig, dtype_name: str):
     K, M = cfg.subcarriers, cfg.timeslots
     return {
         "T_W": real_operator(operators.tx_core_operator(cfg).T, dt),
+        # full per-shift Tx operators with CP gather + window folded in:
+        # one matmul emits the windowed framed burst directly
+        "TF_W": np.stack(
+            [
+                real_operator(operators.tx_frame_operator(cfg, s).T, dt)
+                for s in cfg.cyclic_shifts
+            ]
+        ),
         "E_W": real_operator(operators.channel_estimation_operator(cfg).T, dt),
         "F_W": real_operator(operators.dft_matrix(cfg.block_len).T, dt),
         "Bfd_W": real_operator(operators.demodulation_fd_operator(cfg).T, dt),
         "F2_W": real_operator(operators.dft_matrix(2 * K).T, dt),
         "Fm_W": real_operator(operators.dft_matrix(M).T, dt),
         "iFm_W": real_operator(operators.idft_matrix(M).T, dt),
+        # interference operator: time-domain form of fft -> x ic_taps -> ifft
+        # (one tiny matmul per IC iteration instead of two transforms)
+        "C_W": real_operator(
+            (
+                operators.idft_matrix(M)
+                @ np.diag(_ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap))
+                @ operators.dft_matrix(M)
+            ).T,
+            dt,
+        ),
     }
 
 
@@ -130,12 +148,19 @@ def _small_consts(cfg: GfdmConfig, dtype_name: str):
 @lru_cache(maxsize=16)
 def _tx_fn(cfg: GfdmConfig, dtype_name: str):
     c = _small_consts(cfg, dtype_name)
+    w_len = cfg.window_len
 
     @jax.jit
-    def fn(d, T_W):
-        core = pmatmul(d, T_W)  # (..., 2, N)
-        framed = jnp.take(core, jnp.asarray(c["cp_idx"]), axis=-1) * c["win"]
-        framed = jnp.moveaxis(framed, -2, -3)  # (..., n_shifts, 2, W)
+    def fn(d, TF_W):
+        # TF_W: (n_shifts, 2*n_data, 2*window_len) - CP + window folded in
+        n2 = d.shape[-1] * 2
+        flat = d.reshape(d.shape[:-2] + (n2,))
+        if TF_W.dtype == jnp.bfloat16:
+            flat = flat.astype(jnp.bfloat16)
+        framed = jnp.einsum(
+            "...i,sij->...sj", flat, TF_W, preferred_element_type=jnp.float32
+        ).astype(d.dtype)
+        framed = framed.reshape(framed.shape[:-1] + (2, w_len))
         pre = jnp.broadcast_to(
             jnp.asarray(c["preambles"]), framed.shape[:-2] + c["preambles"].shape[-2:]
         )
@@ -146,12 +171,44 @@ def _tx_fn(cfg: GfdmConfig, dtype_name: str):
 
 def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32"):
     """(..., 2, n_data) planar payload -> (..., n_shifts, 2, frame_len)."""
-    return _tx_fn(cfg, dtype_name)(data, _device_mats(cfg, dtype_name)["T_W"])
+    return _tx_fn(cfg, dtype_name)(data, _device_mats(cfg, dtype_name)["TF_W"])
 
 
 # ---------------------------------------------------------------------------
 # Rx (channel estimation + SNR + ZF + IC + demap)
 # ---------------------------------------------------------------------------
+def _is_qpsk(points: np.ndarray) -> bool:
+    if points.size != 4:
+        return False
+    a = np.abs(points[0].real)
+    return bool(
+        np.allclose(np.abs(points.real), a) and np.allclose(np.abs(points.imag), a)
+        and len({(np.sign(p.real), np.sign(p.imag)) for p in points}) == 4
+    )
+
+
+def _decide_kc(d, points_pl, active_mask, qpsk_amp=None):
+    """Nearest-point decision in (..., K, 2, M) layout, zero off active SCs.
+
+    Fast path: when ``qpsk_amp`` is set (QPSK-shaped constellation) the
+    decision is two sign selects instead of a 4-way distance tensor.
+    """
+    r, i = d[..., 0, :], d[..., 1, :]
+    if qpsk_amp is not None:
+        a = float(qpsk_amp)
+        hr = jnp.where(r >= 0, a, -a)
+        hi_ = jnp.where(i >= 0, a, -a)
+    else:
+        pr = points_pl[:, 0].reshape((-1,) + (1,) * r.ndim)
+        pi = points_pl[:, 1].reshape((-1,) + (1,) * r.ndim)
+        dist = (r[None] - pr) ** 2 + (i[None] - pi) ** 2
+        idx = jnp.argmin(dist, axis=0)
+        hr = jnp.take(points_pl[:, 0], idx)
+        hi_ = jnp.take(points_pl[:, 1], idx)
+    m = active_mask[..., 0, :]
+    return jnp.stack([jnp.where(m, hr, 0.0), jnp.where(m, hi_, 0.0)], axis=-2)
+
+
 def _decide_planar(d_grid, points_pl, active):
     """Nearest-point decision on (..., 2, K, M) grids, zero off active SCs."""
     r, i = d_grid[..., 0, :, :], d_grid[..., 1, :, :]
@@ -178,7 +235,9 @@ def _receive_fn(
 ):
     c = _small_consts(cfg, dtype_name)
     K, M = cfg.subcarriers, cfg.timeslots
-    points_pl = np.ascontiguousarray(to_planar(np.asarray(constellation)).T)  # (P, 2)
+    points = np.asarray(constellation)
+    points_pl = np.ascontiguousarray(to_planar(points).T)  # (P, 2)
+    qpsk_amp = float(np.abs(points[0].real)) if _is_qpsk(points) else None
     n_active = cfg.subcarrier_map.size
 
     @jax.jit
@@ -203,41 +262,47 @@ def _receive_fn(
         S = pmatmul(X, mats["Bfd_W"])  # (..., 2, N) symbol estimates
         grid = S.reshape(S.shape[:-1] + (K, M))  # (..., 2, K, M)
 
-        # per-subcarrier M-point (I)FFT on planar grids: K acts as batch
-        def fft_m(g, W):
-            gm = jnp.moveaxis(g, -3, -2)  # (..., K, 2, M)
-            return jnp.moveaxis(pmatmul(gm, W), -2, -3)
+        # IC loop in (..., K, 2, M) layout so the interference operator is a
+        # single per-subcarrier planar matmul (no transposes per iteration).
+        # Key algebraic collapse: subtracting ifft(fft(neighbors) * ic_taps)
+        # from the folded FD state each iteration against the CONSTANT
+        # original fold (advanced_receiver_kernel_cc.cc:56-76) is, in the
+        # time domain,  d_{k+1} = d0 - neighbors_k @ C  with
+        # C = idft_M . diag(ic_taps) . dft_M  - one tiny (2M, 2M) matmul.
+        d0 = jnp.moveaxis(grid, -3, -2)  # (..., K, 2, M)
+        active_mask = jnp.asarray(c["active"])[..., :, None, None]  # over K
 
-        folded = fft_m(grid, mats["Fm_W"])
-        d = grid
+        def cancel(d0_ref, hard):
+            neighbors = jnp.roll(hard, 1, axis=-3) + jnp.roll(hard, -1, axis=-3)
+            # keep the carry dtype stable for fori_loop (weak-type stripping)
+            return (d0_ref - pmatmul(neighbors, mats["C_W"])).astype(d0_ref.dtype)
 
+        remaining = ic_iterations
         if phase_compensation and ic_iterations > 0:
-            hard = _decide_planar(d, jnp.asarray(points_pl), c["active"])
-            mask = jnp.asarray(c["active"])[..., :, None]
-            nz = (hard[..., 0, :, :] ** 2 + hard[..., 1, :, :] ** 2) > 0
-            ang_h = jnp.arctan2(hard[..., 1, :, :], hard[..., 0, :, :])
-            ang_d = jnp.arctan2(d[..., 1, :, :], d[..., 0, :, :])
-            diff = jnp.where(mask & nz, ang_h - ang_d, 0.0)
+            # C++ semantics: iteration-0 decisions come from the UNROTATED
+            # estimates; the phase fix applies to the receiver state before
+            # the first cancellation (advanced_receiver_kernel_cc.cc:59-75)
+            hard0 = _decide_kc(d0, jnp.asarray(points_pl), active_mask, qpsk_amp)
+            nz = (hard0[..., 0, :] ** 2 + hard0[..., 1, :] ** 2) > 0
+            ang_h = jnp.arctan2(hard0[..., 1, :], hard0[..., 0, :])
+            ang_d = jnp.arctan2(d0[..., 1, :], d0[..., 0, :])
+            diff = jnp.where(active_mask[..., 0, :] & nz, ang_h - ang_d, 0.0)
             phase = jnp.sum(diff, axis=(-2, -1)) / (n_active * M)
             cr = jnp.cos(phase)[..., None, None]
             ci = jnp.sin(phase)[..., None, None]
-            fr, fi = folded[..., 0, :, :], folded[..., 1, :, :]
-            folded = jnp.stack([fr * cr - fi * ci, fr * ci + fi * cr], axis=-3)
+            r0, i0 = d0[..., 0, :], d0[..., 1, :]
+            d0 = jnp.stack([r0 * cr - i0 * ci, r0 * ci + i0 * cr], axis=-2)
+            d = cancel(d0, hard0)
+            remaining = ic_iterations - 1
+        else:
+            d = d0
 
-        ic_taps = jnp.asarray(c["ic_taps"])  # (2, M)
+        def body(_, d):
+            hard = _decide_kc(d, jnp.asarray(points_pl), active_mask, qpsk_amp)
+            return cancel(d0, hard)
 
-        def body(_, carry):
-            d, folded = carry
-            hard = _decide_planar(d, jnp.asarray(points_pl), c["active"])
-            neighbors = jnp.roll(hard, 1, axis=-2) + jnp.roll(hard, -1, axis=-2)
-            V = fft_m(neighbors, mats["Fm_W"])
-            vr, vi = V[..., 0, :, :], V[..., 1, :, :]
-            tr, ti = ic_taps[0][None, :], ic_taps[1][None, :]
-            prod = jnp.stack([vr * tr - vi * ti, vr * ti + vi * tr], axis=-3)
-            return (fft_m(folded - prod, mats["iFm_W"]), folded)
-
-        d, _ = jax.lax.fori_loop(0, ic_iterations, body, (d, folded))
-        symbols = d.reshape(S.shape)
+        d = jax.lax.fori_loop(0, remaining, body, d)
+        symbols = jnp.moveaxis(d, -2, -3).reshape(S.shape)
         data = jnp.take(symbols, jnp.asarray(c["demap_idx"]), axis=-1)
         return {
             "data": data,
