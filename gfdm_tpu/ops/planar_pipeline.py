@@ -169,9 +169,43 @@ def _tx_fn(cfg: GfdmConfig, dtype_name: str):
     return fn
 
 
-def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32"):
-    """(..., 2, n_data) planar payload -> (..., n_shifts, 2, frame_len)."""
+def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32",
+                    method: str = "dense"):
+    """(..., 2, n_data) planar payload -> (..., n_shifts, 2, frame_len).
+
+    method="fast" modulates via the factorized per-subcarrier FFT pipeline.
+    """
+    if method == "fast":
+        return _tx_fast_fn(cfg, dtype_name)(data)
     return _tx_fn(cfg, dtype_name)(data, _device_mats(cfg, dtype_name)["TF_W"])
+
+
+@lru_cache(maxsize=16)
+def _tx_fast_fn(cfg: GfdmConfig, dtype_name: str):
+    from . import planar_fast
+
+    c = _small_consts(cfg, dtype_name)
+    fft_consts = planar_fast._fft_consts(cfg, dtype_name)
+    n_data = cfg.n_data_symbols
+    map_idx = np.full(cfg.block_len, n_data, dtype=np.int32)
+    rows, cols = np.nonzero(operators.mapping_matrix(cfg).real)
+    map_idx[rows] = cols
+
+    @jax.jit
+    def fn(d):
+        zero = jnp.zeros(d.shape[:-1] + (1,), dtype=d.dtype)
+        grid = jnp.take(
+            jnp.concatenate([d, zero], axis=-1), jnp.asarray(map_idx), axis=-1
+        )
+        core = planar_fast.modulate_core_fast(cfg, grid, fft_consts)
+        framed = jnp.take(core, jnp.asarray(c["cp_idx"]), axis=-1) * c["win"]
+        framed = jnp.moveaxis(framed, -2, -3)  # (..., n_shifts, 2, W)
+        pre = jnp.broadcast_to(
+            jnp.asarray(c["preambles"]), framed.shape[:-2] + c["preambles"].shape[-2:]
+        )
+        return jnp.concatenate([pre, framed], axis=-1)
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +266,14 @@ def _receive_fn(
     constellation: tuple,
     phase_compensation: bool,
     dtype_name: str,
+    method: str = "dense",
 ):
+    if method == "fast":
+        from . import planar_fast
+
+        fft_consts = planar_fast._fft_consts(cfg, dtype_name)
+    else:
+        fft_consts = None
     c = _small_consts(cfg, dtype_name)
     K, M = cfg.subcarriers, cfg.timeslots
     points = np.asarray(constellation)
@@ -256,11 +297,19 @@ def _receive_fn(
 
         start = cfg.preamble_len + cfg.cp_len
         frame = bursts[..., start : start + cfg.block_len]
-        X = pmatmul(frame, mats["F_W"])
-        if equalize:
-            X = pdiv(X, channel)
-        S = pmatmul(X, mats["Bfd_W"])  # (..., 2, N) symbol estimates
-        grid = S.reshape(S.shape[:-1] + (K, M))  # (..., 2, K, M)
+        if method == "fast":
+            from . import planar_fast
+
+            d0 = planar_fast.demod_fast(
+                cfg, frame, channel, fft_consts, equalize=equalize
+            )  # (..., K, 2, M) directly in IC layout
+            grid = None
+        else:
+            X = pmatmul(frame, mats["F_W"])
+            if equalize:
+                X = pdiv(X, channel)
+            S = pmatmul(X, mats["Bfd_W"])  # (..., 2, N) symbol estimates
+            grid = S.reshape(S.shape[:-1] + (K, M))  # (..., 2, K, M)
 
         # IC loop in (..., K, 2, M) layout so the interference operator is a
         # single per-subcarrier planar matmul (no transposes per iteration).
@@ -269,7 +318,8 @@ def _receive_fn(
         # original fold (advanced_receiver_kernel_cc.cc:56-76) is, in the
         # time domain,  d_{k+1} = d0 - neighbors_k @ C  with
         # C = idft_M . diag(ic_taps) . dft_M  - one tiny (2M, 2M) matmul.
-        d0 = jnp.moveaxis(grid, -3, -2)  # (..., K, 2, M)
+        if grid is not None:
+            d0 = jnp.moveaxis(grid, -3, -2)  # (..., K, 2, M)
         active_mask = jnp.asarray(c["active"])[..., :, None, None]  # over K
 
         def cancel(d0_ref, hard):
@@ -302,7 +352,9 @@ def _receive_fn(
             return cancel(d0, hard)
 
         d = jax.lax.fori_loop(0, remaining, body, d)
-        symbols = jnp.moveaxis(d, -2, -3).reshape(S.shape)
+        symbols = jnp.moveaxis(d, -2, -3).reshape(
+            bursts.shape[:-2] + (2, cfg.block_len)
+        )
         data = jnp.take(symbols, jnp.asarray(c["demap_idx"]), axis=-1)
         return {
             "data": data,
@@ -323,8 +375,13 @@ def receive_bursts_planar(
     constellation=qpsk_constellation,
     phase_compensation: bool = False,
     dtype_name: str = "float32",
+    method: str = "dense",
 ):
-    """Planar receiver chain: (..., 2, >=frame_len) -> dict of planar outputs."""
+    """Planar receiver chain: (..., 2, >=frame_len) -> dict of planar outputs.
+
+    method="fast" uses the factorized Cooley-Tukey demodulation stage
+    (gfdm_tpu.ops.planar_fast) instead of the dense (2N, 2N) operators.
+    """
     fn = _receive_fn(
         cfg,
         int(ic_iterations),
@@ -332,6 +389,7 @@ def receive_bursts_planar(
         tuple(np.asarray(constellation).tolist()),
         bool(phase_compensation),
         dtype_name,
+        method,
     )
     return fn(bursts, _device_mats(cfg, dtype_name))
 
@@ -458,16 +516,19 @@ def extract_bursts_planar(
 # Full link step (bench / entry)
 # ---------------------------------------------------------------------------
 def link_step_planar(cfg: GfdmConfig, data, ic_iterations: int = 2,
-                     dtype_name: str = "float32"):
+                     dtype_name: str = "float32", method: str = "dense"):
     """Planar end-to-end: payload -> Tx -> Rx -> (data_hat, snr, evm).
 
     dtype_name="bfloat16" runs the operator matmuls on the MXU in bfloat16
     with float32 accumulation (4x peak throughput, EVM impact < 1e-3 on the
     canonical config).
     """
-    bursts = transmit_planar(cfg, data, dtype_name=dtype_name)[..., 0, :, :]
+    bursts = transmit_planar(cfg, data, dtype_name=dtype_name, method=method)[
+        ..., 0, :, :
+    ]
     out = receive_bursts_planar(
-        cfg, bursts, ic_iterations=ic_iterations, dtype_name=dtype_name
+        cfg, bursts, ic_iterations=ic_iterations, dtype_name=dtype_name,
+        method=method,
     )
     err = jnp.sum((out["data"] - data) ** 2)
     ref = jnp.maximum(jnp.sum(data**2), 1e-30)
