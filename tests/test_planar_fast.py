@@ -78,3 +78,18 @@ def test_fast_link_step_matches_dense():
         np.asarray(d_fast), np.asarray(d_dense), atol=2e-3
     )
     assert abs(float(evm_fast) - float(evm_dense)) < 1e-3
+
+
+def test_fast_path_scales_to_large_config():
+    """K=256 config: the dense demod operator would be (2N,2N)=(4608,4608);
+    the factorized path runs it with only K/M-point stage matrices."""
+    cfg = GfdmConfig(subcarriers=256, active_subcarriers=200, timeslots=9)
+    consts = pf._fft_consts(cfg, "float32")
+    x = _planar(cfg.block_len, 2, seed=31)
+    X = pf.fast_fft_n(cfg, x, consts)
+    xc = pl.from_planar(np.asarray(x))
+    np.testing.assert_allclose(
+        pl.from_planar(np.asarray(X)), np.fft.fft(xc, axis=-1), atol=2e-2
+    )
+    back = pf.fast_ifft_n(cfg, X, consts)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
