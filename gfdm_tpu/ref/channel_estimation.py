@@ -103,7 +103,11 @@ class PreambleChannelEstimator:
         n_est = self.active_subcarriers + (1 if self.is_dc_free else 0)
         center = self.fft_len * M // 2
         dead = self.fft_len - self.active_subcarriers
-        frame = np.empty(self.fft_len * M, dtype=np.complex128)
+        # pre-fill with the last estimate: for fully-active configs (dead==0)
+        # the reference's loops leave a bin range uninitialized (C++ reads
+        # uninitialized memory, preamble_channel_estimator_cc.cc:238-274);
+        # nearest-value fill makes that range well-defined here
+        frame = np.full(self.fft_len * M, filtered[n_est - 1], dtype=np.complex128)
 
         frame[center : center + M * dead // 2] = filtered[0]
         frame[M * self.active_subcarriers // 2 : center] = filtered[n_est - 1]
