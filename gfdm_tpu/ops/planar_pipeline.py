@@ -267,6 +267,7 @@ def _receive_fn(
     phase_compensation: bool,
     dtype_name: str,
     method: str = "dense",
+    equalizer: str = "zf",
 ):
     if method == "fast":
         from . import planar_fast
@@ -297,17 +298,31 @@ def _receive_fn(
 
         start = cfg.preamble_len + cfg.cp_len
         frame = bursts[..., start : start + cfg.block_len]
+        if equalize and equalizer == "mmse":
+            # MMSE weighting: divide by H then shrink by |H|^2/(|H|^2+1/snr)
+            # - equivalently multiply the ZF-equalized bins by that factor.
+            # Uses the per-burst SNR estimate from the preamble (a capability
+            # the reference lacks: it only implements the ZF divide,
+            # receiver_kernel_cc.cc:315-316).
+            h2 = pabs2(channel)
+            w = h2 / (h2 + (1.0 / jnp.maximum(snr_lin, 1e-6))[..., None])
+            channel_eff = jnp.stack(
+                [channel[..., 0, :] / w, channel[..., 1, :] / w], axis=-2
+            )
+        else:
+            channel_eff = channel
+
         if method == "fast":
             from . import planar_fast
 
             d0 = planar_fast.demod_fast(
-                cfg, frame, channel, fft_consts, equalize=equalize
+                cfg, frame, channel_eff, fft_consts, equalize=equalize
             )  # (..., K, 2, M) directly in IC layout
             grid = None
         else:
             X = pmatmul(frame, mats["F_W"])
             if equalize:
-                X = pdiv(X, channel)
+                X = pdiv(X, channel_eff)
             S = pmatmul(X, mats["Bfd_W"])  # (..., 2, N) symbol estimates
             grid = S.reshape(S.shape[:-1] + (K, M))  # (..., 2, K, M)
 
@@ -376,11 +391,14 @@ def receive_bursts_planar(
     phase_compensation: bool = False,
     dtype_name: str = "float32",
     method: str = "dense",
+    equalizer: str = "zf",
 ):
     """Planar receiver chain: (..., 2, >=frame_len) -> dict of planar outputs.
 
     method="fast" uses the factorized Cooley-Tukey demodulation stage
     (gfdm_tpu.ops.planar_fast) instead of the dense (2N, 2N) operators.
+    equalizer="mmse" regularizes the per-bin inversion with the estimated
+    SNR (better low-SNR behavior than the reference's plain ZF divide).
     """
     fn = _receive_fn(
         cfg,
@@ -390,6 +408,7 @@ def receive_bursts_planar(
         bool(phase_compensation),
         dtype_name,
         method,
+        equalizer,
     )
     return fn(bursts, _device_mats(cfg, dtype_name))
 

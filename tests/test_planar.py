@@ -142,3 +142,50 @@ def test_planar_link_step_end_to_end():
     d_hat_c = pl.from_planar(np.asarray(d_hat))
     assert utils.evm(utils.qpsk_hard_map(d_hat_c), data) < 1e-5
     assert float(np.asarray(evm)) < 0.2
+
+
+def test_mmse_equalizer_beats_zf_at_low_snr():
+    """MMSE regularization (beyond the reference's ZF) wins in deep fades."""
+    import jax
+
+    from gfdm_tpu.runtime import channel as chan_sim
+
+    rng = np.random.default_rng(0)
+    batch = 64
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=300 + i) for i in range(batch)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    # frequency-selective channel with a deep notch + strong noise
+    h = np.array([1.0, -0.1, 0.0, 0.85])
+    faded = np.asarray(chan_sim.multipath(jnp.asarray(bursts), jnp.asarray(h)))
+    noisy = np.asarray(chan_sim.awgn(jax.random.PRNGKey(7), jnp.asarray(faded), 8.0))
+    pb = jnp.asarray(pl.to_planar(noisy))
+
+    errs = {}
+    for eq in ["zf", "mmse"]:
+        out = pp.receive_bursts_planar(CFG, pb, ic_iterations=0, equalizer=eq)
+        d_hat = pl.from_planar(np.asarray(out["data"]))
+        hard = utils.qpsk_hard_map(d_hat)
+        errs[eq] = np.mean(np.abs(hard - data) > 0.1)
+    assert errs["mmse"] <= errs["zf"]
+
+
+def test_qpsk_llrs_sign_and_scale():
+    from gfdm_tpu.ops.softbits import qpsk_llrs, qpsk_llrs_planar
+
+    syms = np.array([0.7 + 0.7j, -0.7 + 0.1j], dtype=np.complex64)
+    nv = np.array(0.5, dtype=np.float32)
+    llr = np.asarray(qpsk_llrs(jnp.asarray(syms), jnp.asarray(nv)))
+    assert llr.shape == (2, 2)
+    # positive component -> positive LLR (bit 0 likely)
+    assert llr[0, 0] > 0 and llr[0, 1] > 0
+    assert llr[1, 0] < 0 and llr[1, 1] > 0
+    # planar variant agrees
+    llr_p = np.asarray(
+        qpsk_llrs_planar(jnp.asarray(pl.to_planar(syms)), jnp.asarray(nv))
+    )
+    np.testing.assert_allclose(llr_p, llr, atol=1e-6)
+    # doubling noise halves LLR magnitude
+    llr2 = np.asarray(qpsk_llrs(jnp.asarray(syms), jnp.asarray(nv * 2)))
+    np.testing.assert_allclose(llr2, llr / 2, atol=1e-6)
