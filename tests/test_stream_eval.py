@@ -68,3 +68,27 @@ def test_sc16_roundtrip():
     assert raw.dtype == np.int16 and raw.size == 512
     back = sc16_to_cf64(raw)
     np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_crc_framing_roundtrip():
+    from gfdm_tpu.utils.framing import (
+        attach_crc32,
+        check_crc32,
+        pack_bits,
+        payload_capacity_bytes,
+        unpack_bits,
+    )
+
+    cap = payload_capacity_bytes(CFG.n_data_symbols)
+    assert (cap + 4) * 8 == CFG.n_data_symbols * 2
+    msg = bytes(range(117))
+    frame = attach_crc32(msg)
+    bits = unpack_bits(frame)
+    assert bits.size == (len(msg) + 4) * 8
+    ok, payload = check_crc32(pack_bits(bits))
+    assert ok and payload == msg
+    # corruption detected
+    bad = bytearray(frame)
+    bad[3] ^= 0x40
+    ok2, _ = check_crc32(bytes(bad))
+    assert not ok2
