@@ -25,7 +25,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import GfdmConfig
-from . import _shapes  # noqa: F401  (placeholder for future tiling tables)
 from ..ops.planar_pipeline import _np_mats, _small_consts
 
 __all__ = ["rx_core_fused", "tx_frame_fused"]

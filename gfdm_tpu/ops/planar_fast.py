@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GfdmConfig
-from ..ref.demodulation import ic_filter_taps as _ic_taps_ref
 from . import operators
 from .planar import pdiv, pmatmul, pmul, real_operator, to_planar
 

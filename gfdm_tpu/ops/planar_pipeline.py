@@ -243,21 +243,6 @@ def _decide_kc(d, points_pl, active_mask, qpsk_amp=None):
     return jnp.stack([jnp.where(m, hr, 0.0), jnp.where(m, hi_, 0.0)], axis=-2)
 
 
-def _decide_planar(d_grid, points_pl, active):
-    """Nearest-point decision on (..., 2, K, M) grids, zero off active SCs."""
-    r, i = d_grid[..., 0, :, :], d_grid[..., 1, :, :]
-    pr = points_pl[:, 0].reshape((-1,) + (1,) * r.ndim)
-    pi = points_pl[:, 1].reshape((-1,) + (1,) * r.ndim)
-    dist = (r[None] - pr) ** 2 + (i[None] - pi) ** 2
-    idx = jnp.argmin(dist, axis=0)
-    hr = jnp.take(points_pl[:, 0], idx)
-    hi_ = jnp.take(points_pl[:, 1], idx)
-    mask = jnp.asarray(active)[..., :, None]
-    return jnp.stack(
-        [jnp.where(mask, hr, 0.0), jnp.where(mask, hi_, 0.0)], axis=-3
-    )
-
-
 @lru_cache(maxsize=32)
 def _receive_fn(
     cfg: GfdmConfig,
