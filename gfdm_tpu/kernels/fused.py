@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import GfdmConfig
 from ..ops.planar_pipeline import _np_mats, _small_consts
 
-__all__ = ["rx_core_fused", "tx_frame_fused"]
+__all__ = ["rx_core_fused", "rx_full_fused", "tx_frame_fused"]
 
 
 def _on_tpu() -> bool:
@@ -98,6 +98,120 @@ def rx_core_fused(cfg: GfdmConfig, frames, channel, block: int = 64,
         jnp.asarray(mats["Bfd_W"]),
     )
     return out.reshape(B, 2, n)
+
+
+# ---------------------------------------------------------------------------
+# fully fused receiver: channel est + ZF + demod + IC loop in one VMEM pass
+# ---------------------------------------------------------------------------
+def _rx_full_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                    burst_ref, e_ref, fw_ref, bfd_ref, cw_ref, act_ref, out_ref):
+    n = cfg.block_len
+    K, M = cfg.subcarriers, cfg.timeslots
+    L = cfg.frame_len
+    cp = cfg.cp_len
+    pre_len = 2 * K
+    fs = cfg.preamble_len + cfg.cp_len
+
+    burst = burst_ref[:]  # (Bb, 2*frame_len) = [re | im]
+    bb = burst.shape[0]
+    pre2 = jnp.concatenate(
+        [burst[:, cp : cp + pre_len], burst[:, L + cp : L + cp + pre_len]], axis=-1
+    )
+    chan = jnp.dot(pre2, e_ref[:], preferred_element_type=jnp.float32)  # (Bb, 2N)
+    frame = jnp.concatenate(
+        [burst[:, fs : fs + n], burst[:, L + fs : L + fs + n]], axis=-1
+    )
+    X = jnp.dot(frame, fw_ref[:], preferred_element_type=jnp.float32)
+    Xr, Xi = X[:, :n], X[:, n:]
+    Cr, Ci = chan[:, :n], chan[:, n:]
+    den = jnp.maximum(Cr * Cr + Ci * Ci, 1e-30)
+    Y = jnp.concatenate(
+        [(Xr * Cr + Xi * Ci) / den, (Xi * Cr - Xr * Ci) / den], axis=-1
+    )
+    S = jnp.dot(Y, bfd_ref[:], preferred_element_type=jnp.float32)  # (Bb, 2N)
+
+    d0r = S[:, :n].reshape(bb, K, M)
+    d0i = S[:, n:].reshape(bb, K, M)
+    act = act_ref[:].reshape(1, K, 1)  # (1, K, 1) 0/1 mask
+    a = qpsk_amp
+
+    def roll_k(x, up):
+        # circular shift along the K axis via static slicing
+        if up:
+            return jnp.concatenate([x[:, -1:, :], x[:, :-1, :]], axis=1)
+        return jnp.concatenate([x[:, 1:, :], x[:, :1, :]], axis=1)
+
+    dr, di = d0r, d0i
+    for _ in range(ic_iterations):
+        hr = jnp.where(dr >= 0, a, -a) * act
+        hi = jnp.where(di >= 0, a, -a) * act
+        nr = roll_k(hr, True) + roll_k(hr, False)
+        ni = roll_k(hi, True) + roll_k(hi, False)
+        nbr = jnp.concatenate([nr, ni], axis=-1).reshape(bb * K, 2 * M)
+        interf = jnp.dot(nbr, cw_ref[:], preferred_element_type=jnp.float32)
+        interf = interf.reshape(bb, K, 2 * M)
+        dr = d0r - interf[..., :M]
+        di = d0i - interf[..., M:]
+
+    out_ref[:, :n] = dr.reshape(bb, n)
+    out_ref[:, n:] = di.reshape(bb, n)
+
+
+@lru_cache(maxsize=16)
+def _rx_full_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
+                  qpsk_amp: float, interpret: bool):
+    n2 = 2 * cfg.block_len
+    f2 = 2 * cfg.frame_len
+    e_rows = 2 * 2 * cfg.subcarriers
+    m2 = 2 * cfg.timeslots
+    kernel = functools.partial(_rx_full_kernel, cfg, ic_iterations, qpsk_amp)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, n2), jnp.float32),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, f2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_rows, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m2, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.subcarriers), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+
+def rx_full_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
+                  block: int = 64, interpret: bool | None = None,
+                  qpsk_amp: float = 2.0**-0.5):
+    """Whole ZF+IC receiver core in one VMEM pass.
+
+    bursts: (B, 2, frame_len) planar -> (B, 2, N) planar symbols. Channel
+    estimation, block FFT, ZF divide, FD demod and the IC iterations all
+    happen without the per-burst state leaving VMEM. QPSK decisions (sign
+    selects) only; SNR metrics are computed outside (cheap).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    mats = _np_mats(cfg, "float32")
+    B = bursts.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of block {block}")
+    active = np.zeros((1, cfg.subcarriers), dtype=np.float32)
+    active[0, cfg.subcarrier_map] = 1.0
+    call = _rx_full_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
+                         bool(interpret))
+    out = call(
+        bursts.reshape(B, -1),
+        jnp.asarray(mats["E_W"]),
+        jnp.asarray(mats["F_W"]),
+        jnp.asarray(mats["Bfd_W"]),
+        jnp.asarray(mats["C_W"]),
+        jnp.asarray(active),
+    )
+    return out.reshape(B, 2, cfg.block_len)
 
 
 # ---------------------------------------------------------------------------

@@ -41,3 +41,29 @@ def test_rx_core_fused_matches_xla():
     ref = pmatmul(pdiv(pmatmul(frames, mats["F_W"]), chan), mats["Bfd_W"])
     got = rx_core_fused(CFG, frames, chan, block=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_rx_full_fused_matches_xla_pipeline():
+    from gfdm_tpu.kernels import rx_full_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=40)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    ref = receive_bursts_planar(CFG, bursts, ic_iterations=2)
+    got = rx_full_fused(CFG, bursts, ic_iterations=2, block=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
+    )
+
+
+def test_rx_full_fused_zero_iterations():
+    from gfdm_tpu.kernels import rx_full_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(4, seed=50)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    ref = receive_bursts_planar(CFG, bursts, ic_iterations=0)
+    got = rx_full_fused(CFG, bursts, ic_iterations=0, block=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
+    )

@@ -105,3 +105,32 @@ def test_sharded_detection_matches_unsharded_on_owner_chunk():
     np.testing.assert_allclose(
         np.asarray(det["cfo"])[:, 0], np.asarray(det_ref["cfo"]), atol=1e-7
     )
+
+
+def test_dp_receiver_compiles_without_collectives():
+    """Steady-state burst processing is embarrassingly parallel: the
+    dp-sharded receiver program must contain NO cross-chip collectives
+    (the basis of the near-linear scaling claim; only the sp halo exchange
+    and explicit metric psums communicate)."""
+    import jax.numpy as jnp
+
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    mesh = make_mesh(dp=8, sp=1)
+    batch = 16
+    data = _payloads(CFG, batch).astype(np.complex64)
+    bursts = np.asarray(transmit_bursts(CFG, data))[:, 0, :]
+    pb = jax.device_put(
+        jnp.asarray(pl.to_planar(bursts)),
+        NamedSharding(mesh, P("dp", None, None)),
+    )
+
+    @jax.jit
+    def rx_step(b):
+        return receive_bursts_planar(CFG, b, ic_iterations=2)["data"]
+
+    hlo = rx_step.lower(pb).compile().as_text()
+    for coll in ["all-reduce", "all-gather", "collective-permute", "all-to-all",
+                 "reduce-scatter"]:
+        assert coll not in hlo, f"unexpected collective {coll} in dp program"
