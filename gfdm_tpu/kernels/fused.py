@@ -191,6 +191,12 @@ def rx_full_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     estimation, block FFT, ZF divide, FD demod and the IC iterations all
     happen without the per-burst state leaving VMEM. QPSK decisions (sign
     selects) only; SNR metrics are computed outside (cheap).
+
+    Status: validated against the XLA pipeline in interpret mode; this
+    image's Mosaic compiler currently rejects the 3-D (block, K, M=9)
+    slicing in the IC stage (remote compile HTTP 500) - the IC grids need
+    lane-aligned re-tiling before this runs natively. rx_core_fused (the
+    2-D ZF core) compiles and runs natively at XLA parity.
     """
     if interpret is None:
         interpret = not _on_tpu()
