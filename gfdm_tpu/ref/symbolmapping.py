@@ -8,14 +8,28 @@ import numpy as np
 
 __all__ = ["constellation", "bits_to_symbols", "symbols_to_bits", "hard_decide"]
 
+def _gray_16qam() -> np.ndarray:
+    """Gray-coded 16-QAM, unit average energy, index = 4 bits (I msb pair,
+    Q lsb pair is NOT the layout: bits [b3 b2 b1 b0] map b3b2 -> I level,
+    b1b0 -> Q level with Gray order 00,01,11,10 -> -3,-1,+1,+3)."""
+    gray_levels = {0b00: -3.0, 0b01: -1.0, 0b11: 1.0, 0b10: 3.0}
+    pts = np.empty(16, dtype=np.complex128)
+    for idx in range(16):
+        i_lvl = gray_levels[(idx >> 2) & 0b11]
+        q_lvl = gray_levels[idx & 0b11]
+        pts[idx] = i_lvl + 1j * q_lvl
+    return pts / np.sqrt(10.0)  # E[|x|^2] = (2/4)(1+9) = 10 before scaling
+
+
 _CONSTELLATIONS = {
     1: np.array([1.0 + 0.0j, -1.0 + 0.0j]),
     2: np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j]) / np.sqrt(2.0),
+    4: _gray_16qam(),
 }
 
 
 def constellation(order: int) -> np.ndarray:
-    """Constellation points for 2**order points (1=BPSK, 2=QPSK)."""
+    """Points for 2**order-ary mapping (1=BPSK, 2=QPSK, 4=Gray 16-QAM)."""
     return _CONSTELLATIONS[order].copy()
 
 

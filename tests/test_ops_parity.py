@@ -265,3 +265,35 @@ def test_stepwise_receiver_api_matches_golden():
             detected[b].reshape(CFG.subcarriers, CFG.timeslots), S_ref, ic_taps
         )
         np.testing.assert_allclose(cleaned[b], ref, atol=3e-5)
+
+
+def test_16qam_roundtrip_and_ic_receiver():
+    """Generality beyond QPSK: Gray 16-QAM through bits->symbols->IC rx."""
+    from gfdm_tpu.ref import symbolmapping as sm
+
+    pts = sm.constellation(4)
+    assert pts.size == 16
+    np.testing.assert_allclose(np.mean(np.abs(pts) ** 2), 1.0, atol=1e-12)
+    # Gray property: nearest horizontal/vertical neighbors differ in one bit
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 4 * 64)
+    syms = sm.bits_to_symbols(bits, pts)
+    back = sm.symbols_to_bits(syms, pts)
+    np.testing.assert_array_equal(bits, back)
+
+    # IC receiver with the 16-QAM constellation recovers a clean frame
+    # (wider rolloff + more iterations than QPSK: denser decisions)
+    cfg = GfdmConfig(filteralpha=0.5, active_subcarriers=64, dc_free=False)
+    d16 = np.stack([
+        sm.bits_to_symbols(rng.integers(0, 2, 4 * cfg.n_data_symbols), pts)
+        for _ in range(2)
+    ]).astype(np.complex64)
+    core = np.asarray(tx.transmit_core(cfg, d16))
+    got = np.asarray(
+        rx.ic_receiver(cfg, core, ic_iterations=30, constellation=pts)
+    )
+    got_data = np.asarray(rx.demap_resources(cfg, got))
+    hard = np.asarray(
+        [sm.hard_decide(g, pts) for g in got_data]
+    )
+    assert np.mean(np.abs(hard - d16) > 1e-6) < 0.005
