@@ -40,20 +40,37 @@ def receive_long_stream(
     ic_iterations: int = 2,
     min_strength: float = 0.05,
     correct_cfo: bool = True,
+    max_bursts_per_chunk: int = 1,
 ):
     """Receive every burst in a long recording.
 
-    Returns the per-chunk receiver outputs plus a ``found`` mask: a chunk
-    yields a burst iff its detection is owned (start < chunk_len) and above
-    the detection threshold.
+    Returns the per-slot receiver outputs plus a ``found`` mask. With
+    ``max_bursts_per_chunk > 1`` each chunk contributes that many detection
+    slots (iterative peak suppression, strongest first) so densely packed
+    bursts - up to one per frame length - are all recovered.
     """
     from ..ops import burst as burst_ops
     from ..ops import sync as sync_ops
 
     halo = cfg.frame_len + cfg.cp_len
     chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
-    det = sync_ops.detect_bursts(cfg, chunks, search_limit=chunk_len)
-    bursts = burst_ops.extract_bursts(cfg, chunks, det, correct_cfo=correct_cfo)
+    if max_bursts_per_chunk <= 1:
+        det = sync_ops.detect_bursts(cfg, chunks, search_limit=chunk_len)
+        bursts = burst_ops.extract_bursts(cfg, chunks, det, correct_cfo=correct_cfo)
+    else:
+        k = int(max_bursts_per_chunk)
+        det_k = sync_ops.detect_bursts_topk(
+            cfg, chunks, max_bursts=k, search_limit=chunk_len
+        )
+        # flatten (n_chunks, k) slots -> one burst batch
+        rep = jnp.broadcast_to(
+            chunks[..., None, :], chunks.shape[:-1] + (k, chunks.shape[-1])
+        )
+        det = {key: det_k[key].reshape(-1) for key in ("start", "cfo", "scale",
+                                                       "strength")}
+        bursts = burst_ops.extract_bursts(
+            cfg, rep.reshape((-1, chunks.shape[-1])), det, correct_cfo=correct_cfo
+        )
     out = receive_bursts(cfg, bursts, ic_iterations=ic_iterations)
     out["detection"] = det
     out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)

@@ -92,3 +92,33 @@ def test_crc_framing_roundtrip():
     bad[3] ^= 0x40
     ok2, _ = check_crc32(bytes(bad))
     assert not ok2
+
+
+def test_receive_long_stream_dense_bursts_topk():
+    """Two bursts inside one chunk: max_bursts_per_chunk=2 recovers both."""
+    chunk_len = 2048
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=90 + i) for i in range(3)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(2 * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(4)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    offsets = [100, 1000, chunk_len + 700]  # two bursts in chunk 0
+    for b, off in zip(bursts, offsets):
+        stream[off : off + CFG.frame_len] += b
+
+    out = receive_long_stream(
+        CFG, stream, chunk_len=chunk_len, ic_iterations=2, max_bursts_per_chunk=2
+    )
+    found = np.asarray(out["found"])
+    assert found.sum() == 3
+    d_hat = np.asarray(out["data"])[found]
+    # every transmitted payload matches exactly one recovered burst
+    # (slot order is per-chunk, strongest first - not tx order)
+    hard = np.stack([utils.qpsk_hard_map(d) for d in d_hat])
+    for d in data:
+        matches = [np.allclose(h, d, atol=1e-3) for h in hard]
+        assert sum(matches) == 1
