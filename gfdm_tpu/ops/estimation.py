@@ -16,6 +16,7 @@ import numpy as np
 
 from ..config import GfdmConfig
 from . import operators
+from ._validate import check_last_dim
 
 __all__ = ["estimate_frame", "estimate_snr", "prepare_for_zf"]
 
@@ -35,7 +36,10 @@ def _estimate_fn(cfg: GfdmConfig, dtype):
 
 def estimate_frame(cfg: GfdmConfig, rx_preamble, dtype=DEFAULT_DTYPE):
     """(..., 2K) received core preamble -> (..., M*K) FD channel estimate."""
-    return _estimate_fn(cfg, dtype)(jnp.asarray(rx_preamble, dtype=dtype))
+    rx_preamble = jnp.asarray(rx_preamble, dtype=dtype)
+    check_last_dim(rx_preamble, 2 * cfg.subcarriers, "estimate_frame",
+                   "2*subcarriers (core preamble)")
+    return _estimate_fn(cfg, dtype)(rx_preamble)
 
 
 @jax.jit

@@ -30,6 +30,7 @@ from .planar import pabs2, pconj, pdiv, pmatmul, pmul, real_operator, to_planar
 from .rx import qpsk_constellation
 from .sync import moving_sum
 from .tx import demap_indices
+from ._validate import check_planar
 
 __all__ = [
     "prepare",
@@ -175,6 +176,8 @@ def transmit_planar(cfg: GfdmConfig, data, dtype_name: str = "float32",
 
     method="fast" modulates via the factorized per-subcarrier FFT pipeline.
     """
+    check_planar(data, cfg.n_data_symbols, "transmit_planar",
+                 "timeslots*active_subcarriers")
     if method == "fast":
         return _tx_fast_fn(cfg, dtype_name)(data)
     return _tx_fn(cfg, dtype_name)(data, _device_mats(cfg, dtype_name)["TF_W"])

@@ -22,6 +22,7 @@ from ..config import GfdmConfig
 from ..ref.demodulation import ic_filter_taps as _ic_taps_ref
 from . import operators
 from .tx import demap_indices
+from ._validate import check_last_dim
 
 __all__ = [
     "remove_cyclic_prefix",
@@ -66,7 +67,9 @@ def _demod_fns(cfg: GfdmConfig, dtype):
 
 def demodulate(cfg: GfdmConfig, frames, dtype=DEFAULT_DTYPE):
     """MF demodulation: (..., M*K) samples -> (..., M*K) symbol estimates."""
-    return _demod_fns(cfg, dtype)[0](jnp.asarray(frames, dtype=dtype))
+    frames = jnp.asarray(frames, dtype=dtype)
+    check_last_dim(frames, cfg.block_len, "demodulate", "timeslots*subcarriers")
+    return _demod_fns(cfg, dtype)[0](frames)
 
 
 def demodulate_equalized(cfg: GfdmConfig, frames, channel_fd, dtype=DEFAULT_DTYPE):

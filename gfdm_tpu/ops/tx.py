@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import GfdmConfig
 from . import operators
+from ._validate import check_last_dim
 
 __all__ = ["modulate", "map_resources", "add_cyclic_prefix", "transmit", "transmit_core"]
 
@@ -38,7 +39,9 @@ def _modulate_fn(cfg: GfdmConfig, dtype):
 
 def modulate(cfg: GfdmConfig, grid_flat, dtype=DEFAULT_DTYPE):
     """(..., M*K) subcarrier-major grid symbols -> (..., M*K) time samples."""
-    return _modulate_fn(cfg, dtype)(jnp.asarray(grid_flat, dtype=dtype))
+    grid_flat = jnp.asarray(grid_flat, dtype=dtype)
+    check_last_dim(grid_flat, cfg.block_len, "modulate", "timeslots*subcarriers")
+    return _modulate_fn(cfg, dtype)(grid_flat)
 
 
 @lru_cache(maxsize=16)
@@ -62,7 +65,10 @@ def _map_fn(cfg: GfdmConfig, dtype):
 
 def map_resources(cfg: GfdmConfig, data, dtype=DEFAULT_DTYPE):
     """(..., n_data) -> (..., M*K) flat subcarrier-major resource grid."""
-    return _map_fn(cfg, dtype)(jnp.asarray(data, dtype=dtype))
+    data = jnp.asarray(data, dtype=dtype)
+    check_last_dim(data, cfg.n_data_symbols, "map_resources",
+                   "timeslots*active_subcarriers")
+    return _map_fn(cfg, dtype)(data)
 
 
 def demap_indices(cfg: GfdmConfig) -> np.ndarray:
@@ -126,4 +132,7 @@ def transmit(cfg: GfdmConfig, data, dtype=DEFAULT_DTYPE):
     preamble-prefixed burst per configured cyclic shift (cyclic delay
     diversity, transmitter_cc_impl.cc:165-177).
     """
-    return _transmit_fns(cfg, dtype)[1](jnp.asarray(data, dtype=dtype))
+    data = jnp.asarray(data, dtype=dtype)
+    check_last_dim(data, cfg.n_data_symbols, "transmit",
+                   "timeslots*active_subcarriers")
+    return _transmit_fns(cfg, dtype)[1](data)

@@ -297,3 +297,18 @@ def test_16qam_roundtrip_and_ic_receiver():
         [sm.hard_decide(g, pts) for g in got_data]
     )
     assert np.mean(np.abs(hard - d16) > 1e-6) < 0.005
+
+
+def test_shape_validation_errors_are_actionable():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="active_subcarriers = 468"):
+        tx.transmit(CFG, np.ones((2, 100), np.complex64))
+    with _pytest.raises(ValueError, match="timeslots\\*subcarriers = 576"):
+        rx.demodulate(CFG, np.ones((2, 100), np.complex64))
+    with _pytest.raises(ValueError, match="core preamble"):
+        estimation.estimate_frame(CFG, np.ones((2, 100), np.complex64))
+    from gfdm_tpu.ops.planar_pipeline import transmit_planar
+
+    with _pytest.raises(ValueError, match="planar layout"):
+        transmit_planar(CFG, np.ones((4, 3, 468), np.float32))
