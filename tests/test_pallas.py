@@ -67,3 +67,20 @@ def test_rx_full_fused_zero_iterations():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
     )
+
+
+def test_rx_ic_fused_matches_xla_pipeline():
+    """2-D fused ZF+IC kernel == XLA receiver (equalize + IC, same channel)."""
+    from gfdm_tpu.kernels import rx_ic_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=60)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    ref = receive_bursts_planar(CFG, bursts, ic_iterations=2)
+    n = CFG.block_len
+    start = CFG.preamble_len + CFG.cp_len
+    frames = bursts[..., start : start + n]
+    got = rx_ic_fused(CFG, frames, ref["channel"], ic_iterations=2, block=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
+    )
