@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import GfdmConfig
 from ..ops.planar_pipeline import _np_mats, _small_consts
 
-__all__ = ["rx_core_fused", "rx_ic_fused", "rx_full_fused", "tx_frame_fused"]
+__all__ = ["rx_core_fused", "rx_ic_fused", "rx_receiver_fused", "rx_full_fused", "tx_frame_fused"]
 
 
 def _on_tpu() -> bool:
@@ -238,6 +238,176 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
         jnp.asarray(active),
     )
     return out.reshape(B, 2, n)
+
+
+# ---------------------------------------------------------------------------
+# fused ZF + IC receiver, circulant IC (fast native path)
+# ---------------------------------------------------------------------------
+def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                       c_taps_r: tuple, c_taps_i: tuple,
+                       frame_ref, e_ref, fw_ref, bfd_ref,
+                       act_ref, mlt_ref, chan_ref, out_ref):
+    """ZF + IC with the interference operator applied as a per-block
+    circular convolution.
+
+    C = idft_M . diag(ic_taps) . dft_M is CIRCULANT: applying it is a 9-tap
+    circular convolution within each subcarrier's M-block. A within-block
+    column rotation by j is blended from the two global rolls j and j-M
+    using the precomputed (1, N) "col%M < j" masks in mlt_ref - pure 2-D
+    ops, all VPU, zero extra MXU work.
+    """
+    n = cfg.block_len
+    M = cfg.timeslots
+    pre_len = 2 * 2 * cfg.subcarriers
+    L = cfg.frame_len
+    cp = cfg.cp_len
+    fs = cfg.preamble_len + cfg.cp_len
+
+    burst = frame_ref[:]  # (Bb, 2*frame_len) planar-flat burst
+    pre2 = jnp.concatenate(
+        [burst[:, cp : cp + pre_len // 2],
+         burst[:, L + cp : L + cp + pre_len // 2]], axis=-1
+    )
+    chan = jnp.dot(pre2, e_ref[:], preferred_element_type=jnp.float32)
+    chan_ref[:] = chan  # expose the channel estimate as a second output
+    frame = jnp.concatenate(
+        [burst[:, fs : fs + n], burst[:, L + fs : L + fs + n]], axis=-1
+    )
+    X = jnp.dot(frame, fw_ref[:], preferred_element_type=jnp.float32)
+    Xr, Xi = X[:, :n], X[:, n:]
+    Cr, Ci = chan[:, :n], chan[:, n:]
+    den = jnp.maximum(Cr * Cr + Ci * Ci, 1e-30)
+    Y = jnp.concatenate(
+        [(Xr * Cr + Xi * Ci) / den, (Xi * Cr - Xr * Ci) / den], axis=-1
+    )
+    S = jnp.dot(Y, bfd_ref[:], preferred_element_type=jnp.float32)
+    d0r, d0i = S[:, :n], S[:, n:]
+    act = act_ref[:]
+    a = qpsk_amp
+
+    def groll(v, shift):
+        shift = shift % n
+        if shift == 0:
+            return v
+        return jnp.concatenate([v[:, n - shift :], v[:, : n - shift]], axis=1)
+
+    def block_rot(v, j):
+        # within-block rotation by j: w[kM+m] = v[kM + (m-j) mod M]
+        if j == 0:
+            return v
+        return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
+
+    dr, di = d0r, d0i
+    for _ in range(ic_iterations):
+        hr = jnp.where(dr >= 0, a, -a) * act
+        hi = jnp.where(di >= 0, a, -a) * act
+        nr = groll(hr, M) + groll(hr, -M)
+        ni = groll(hi, M) + groll(hi, -M)
+        ir = jnp.zeros_like(nr)
+        ii = jnp.zeros_like(ni)
+        for j in range(M):
+            sr = block_rot(nr, j)
+            si = block_rot(ni, j)
+            cr_, ci_ = c_taps_r[j], c_taps_i[j]
+            ir = ir + cr_ * sr - ci_ * si
+            ii = ii + cr_ * si + ci_ * sr
+        dr = d0r - ir
+        di = d0i - ii
+
+    out_ref[:, :n] = dr
+    out_ref[:, n:] = di
+
+
+@lru_cache(maxsize=16)
+def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
+                     ic_iterations: int, qpsk_amp: float, interpret: bool):
+    from ..ops import operators as _ops
+    from ..ref.demodulation import ic_filter_taps as _ic
+
+    n = cfg.block_len
+    n2 = 2 * n
+    M = cfg.timeslots
+    f2 = 2 * cfg.frame_len
+    e_rows = 2 * 2 * cfg.subcarriers
+    # circulant taps: column 0 of C^T-form equals ifft(ic_taps) arranged so
+    # that (v @ C_Wform)[m] = sum_j c[j] * v[(m - j) mod M]
+    Cmat = (
+        _ops.idft_matrix(M)
+        @ np.diag(_ic(cfg.rx_filter_taps, M, cfg.overlap))
+        @ _ops.dft_matrix(M)
+    )  # circulant: Cmat[m, m'] = c[(m - m') mod M], c = ifft(ic_taps)
+    c_col = Cmat[:, 0]  # c[j] multiplies v rotated by j
+    kernel = functools.partial(
+        _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp,
+        tuple(float(x) for x in c_col.real),
+        tuple(float(x) for x in c_col.imag),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n2), jnp.float32),  # chan (2nd out!)
+            jax.ShapeDtypeStruct((batch, n2), jnp.float32),  # symbols
+        ),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, f2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_rows, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M - 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=16)
+def _circ_masks(cfg: GfdmConfig):
+    """(M-1, N) masks: row j-1 is 1.0 where (col % M) < j."""
+    n, M = cfg.block_len, cfg.timeslots
+    cols = np.arange(n) % M
+    return np.stack(
+        [(cols < j).astype(np.float32) for j in range(1, M)]
+    )
+
+
+def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
+                      block: int = 128, interpret: bool | None = None,
+                      qpsk_amp: float = 2.0**-0.5):
+    """Whole receiver core (channel est + ZF + demod + circulant IC) in one
+    VMEM pass.
+
+    bursts: (B, 2, frame_len) planar -> (channel (B, 2, N), symbols
+    (B, 2, N)) planar. The IC iterations cost only VPU work (9-tap circular
+    convolution per block via mask-blended rolls) - no extra MXU matmuls and
+    no HBM round trips.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    mats = _np_mats(cfg, "float32")
+    n = cfg.block_len
+    active = np.zeros((1, n), dtype=np.float32)
+    for k in cfg.subcarrier_map:
+        active[0, k * cfg.timeslots : (k + 1) * cfg.timeslots] = 1.0
+    B = bursts.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of block {block}")
+    call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
+                            bool(interpret))
+    chan, out = call(
+        bursts.reshape(B, -1),
+        jnp.asarray(mats["E_W"]),
+        jnp.asarray(mats["F_W"]),
+        jnp.asarray(mats["Bfd_W"]),
+        jnp.asarray(active),
+        jnp.asarray(_circ_masks(cfg)),
+    )
+    return chan.reshape(B, 2, n), out.reshape(B, 2, n)
 
 
 # ---------------------------------------------------------------------------

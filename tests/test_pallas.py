@@ -84,3 +84,20 @@ def test_rx_ic_fused_matches_xla_pipeline():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
     )
+
+
+def test_rx_receiver_fused_circulant_matches_xla():
+    """One-kernel receiver (est+ZF+demod+circulant IC) == XLA pipeline."""
+    from gfdm_tpu.kernels.fused import rx_receiver_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=70)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    ref = receive_bursts_planar(CFG, bursts, ic_iterations=2)
+    chan, got = rx_receiver_fused(CFG, bursts, ic_iterations=2, block=4)
+    np.testing.assert_allclose(
+        np.asarray(chan), np.asarray(ref["channel"]).reshape(chan.shape), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
+    )
