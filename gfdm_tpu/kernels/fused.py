@@ -10,8 +10,17 @@ Layouts match gfdm_tpu.ops.planar: a complex vector of length n is the real
 vector [re | im] of length 2n; complex matmuls use the realified
 [[Wr, Wi], [-Wi, Wr]] operators.
 
-Both kernels are validated element-wise against the XLA planar pipeline
-(tests/test_pallas.py, interpret mode on CPU; native Mosaic on TPU).
+All kernels are validated element-wise against the XLA planar pipeline
+(tests/test_pallas.py, interpret mode on CPU; native Mosaic on TPU, where
+the channel-estimate path is bit-identical).
+
+Performance status on this image's TPU backend (honest, cache-proof
+timings): Mosaic's f32 matmul throughput is ~4x below XLA's for these
+operator shapes, so all matmul-heavy fused kernels run slower than the XLA
+path regardless of fusion savings (e.g. one-kernel receiver 53 ms vs XLA
+13.4 ms at batch 32768). The kernels are kept as correctness-proven
+skeletons: they compile in ~4 s (vs minutes for XLA remote compiles), making
+them the fast-iteration platform once the matmul mode is fixed.
 """
 from __future__ import annotations
 
@@ -207,12 +216,9 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
     the per-subcarrier interference operator is a block-diagonal real matmul
     pair, avoiding the 3-D small-minor-dim tiling Mosaic rejects.
 
-    Status: compiles natively and is bit-identical to the XLA path on TPU
-    (ic=0 maxdiff 0.0), but the block-diagonal matmuls (98% structural
-    zeros) make it ~4x slower than the XLA receiver at the canonical size -
-    the XLA path with its tiny per-block matmuls remains the default. Kept
-    as the correctness-proven skeleton for a future structured-sparse
-    version.
+    Status: compiles natively, bit-identical to the XLA path on TPU at
+    ic=0; slower than the XLA receiver (see module docstring). The
+    circulant-IC variant rx_receiver_fused supersedes this one.
     """
     if interpret is None:
         interpret = not _on_tpu()
