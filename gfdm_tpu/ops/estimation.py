@@ -18,7 +18,7 @@ from ..config import GfdmConfig
 from . import operators
 from ._validate import check_last_dim
 
-__all__ = ["estimate_frame", "estimate_snr", "prepare_for_zf"]
+__all__ = ["estimate_frame", "estimate_snr", "prepare_for_zf", "mmse_channel"]
 
 DEFAULT_DTYPE = jnp.complex64
 
@@ -77,3 +77,43 @@ def _snr_fn(cfg: GfdmConfig, dtype):
 def estimate_snr(cfg: GfdmConfig, rx_preamble, dtype=DEFAULT_DTYPE):
     """(..., 2K) preamble -> ((...,) linear SNR, (..., active) CNRs)."""
     return _snr_fn(cfg, dtype)(jnp.asarray(rx_preamble, dtype=dtype))
+
+
+@lru_cache(maxsize=16)
+def _mmse_fn(cfg: GfdmConfig, per_bin: bool, dtype):
+    CNRI_T = operators.cnr_interpolation_operator(cfg).T.astype(np.float32)
+
+    @jax.jit
+    def fn(channel_fd, snr_lin, cnrs):
+        if per_bin:
+            cnr_bins = jnp.maximum(jnp.maximum(cnrs, 0.0) @ CNRI_T, 1e-6)
+            w = cnr_bins / (cnr_bins + 1.0)
+        else:
+            h2 = jnp.abs(channel_fd) ** 2
+            w = h2 / (h2 + (1.0 / jnp.maximum(snr_lin, 1e-6))[..., None])
+        return channel_fd / w.astype(jnp.float32)
+
+    return fn
+
+
+def mmse_channel(cfg: GfdmConfig, channel_fd, snr_lin=None, cnrs=None,
+                 dtype=DEFAULT_DTYPE):
+    """Effective channel for MMSE equalization via the ZF divide path.
+
+    Dividing the block FFT by the returned channel (exactly like
+    receiver_kernel_cc.cc:315-316 does with the plain estimate) realizes the
+    MMSE-shrunk inversion. With ``cnrs`` (from :func:`estimate_snr`) the
+    shrinkage is per-bin (frequency-selective); with only ``snr_lin`` it is
+    the scalar-SNR MMSE. Capability beyond the reference's ZF-only divide.
+    """
+    per_bin = cnrs is not None
+    if not per_bin and snr_lin is None:
+        raise ValueError("mmse_channel needs snr_lin or cnrs")
+    channel_fd = jnp.asarray(channel_fd, dtype=dtype)
+    snr_lin = jnp.asarray(0.0 if snr_lin is None else snr_lin, dtype=jnp.float32)
+    cnrs = (
+        jnp.zeros(2 * (cfg.active_subcarriers // 2), jnp.float32)
+        if cnrs is None
+        else jnp.asarray(cnrs, dtype=jnp.float32)
+    )
+    return _mmse_fn(cfg, per_bin, dtype)(channel_fd, snr_lin, cnrs)

@@ -38,6 +38,7 @@ __all__ = [
     "tx_core_operator",
     "tx_frame_operator",
     "channel_estimation_operator",
+    "cnr_interpolation_operator",
     "cp_indices",
     "cp_window",
 ]
@@ -185,3 +186,37 @@ def channel_estimation_operator(cfg: GfdmConfig) -> np.ndarray:
         cfg.core_preamble,
     )
     return _apply_columnwise(est.estimate_frame, 2 * cfg.subcarriers, cfg.block_len)
+
+
+@lru_cache(maxsize=16)
+def cnr_interpolation_operator(cfg: GfdmConfig) -> np.ndarray:
+    """(M*K, n_active) real: per-subcarrier CNRs -> per-bin CNRs (FFT order).
+
+    Runs the estimator's own smoothing + interpolation stages (steps 2-3 of
+    preamble_channel_estimator_cc.cc:145-274) over the CNR vector so a
+    per-bin MMSE weight aligned with the full-frame channel estimate can be
+    formed. Input ordering matches estimate_snr's concat(positive-frequency,
+    negative-frequency) CNR layout (preamble_channel_estimator_cc.cc:187-235).
+    Capability beyond the reference, which only tags the raw scalar snr_lin
+    and CNR vector (channel_estimator_cc_impl.cc:99-114).
+    """
+    est = PreambleChannelEstimator(
+        cfg.timeslots,
+        cfg.subcarriers,
+        cfg.active_subcarriers,
+        cfg.dc_free,
+        cfg.core_preamble,
+    )
+    K = cfg.subcarriers
+    half = cfg.active_subcarriers // 2
+    offset = 1 if cfg.dc_free else 0
+    bins = np.concatenate(
+        (np.arange(half) + offset, np.arange(half) + (K - half))
+    )
+
+    def fn(c):
+        full = np.zeros(K, dtype=np.complex128)
+        full[bins] = c
+        return est.interpolate_frame(est.filter_preamble_estimate(full))
+
+    return _apply_columnwise(fn, 2 * half, cfg.block_len).real

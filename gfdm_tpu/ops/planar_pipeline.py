@@ -60,6 +60,10 @@ def _np_mats(cfg: GfdmConfig, dtype_name: str):
             ]
         ),
         "E_W": real_operator(operators.channel_estimation_operator(cfg).T, dt),
+        # real (n_active, N) CNR->per-bin interpolation for per-bin MMSE
+        "CNRI_T": np.ascontiguousarray(
+            operators.cnr_interpolation_operator(cfg).T.astype(dt)
+        ),
         "F_W": real_operator(operators.dft_matrix(cfg.block_len).T, dt),
         "Bfd_W": real_operator(operators.demodulation_fd_operator(cfg).T, dt),
         "F2_W": real_operator(operators.dft_matrix(2 * K).T, dt),
@@ -297,6 +301,16 @@ def _receive_fn(
             channel_eff = jnp.stack(
                 [channel[..., 0, :] / w, channel[..., 1, :] / w], axis=-2
             )
+        elif equalize and equalizer == "mmse_cnr":
+            # Per-bin MMSE from the measured CNR vector: the received
+            # carrier-to-noise ratio per bin IS |H|^2 * tx-SNR, so the MMSE
+            # shrinkage of the ZF-equalized bin is cnr/(cnr+1) directly.
+            # CNRs are smoothed + interpolated to all M*K bins with the same
+            # machinery the channel estimate uses (cnr_interpolation_operator).
+            cnr_bins = jnp.maximum(cnrs, 0.0) @ mats["CNRI_T"]
+            cnr_bins = jnp.maximum(cnr_bins, 1e-6)
+            w = cnr_bins / (cnr_bins + 1.0)
+            channel_eff = channel / w[..., None, :]
         else:
             channel_eff = channel
 
@@ -386,7 +400,9 @@ def receive_bursts_planar(
     method="fast" uses the factorized Cooley-Tukey demodulation stage
     (gfdm_tpu.ops.planar_fast) instead of the dense (2N, 2N) operators.
     equalizer="mmse" regularizes the per-bin inversion with the estimated
-    SNR (better low-SNR behavior than the reference's plain ZF divide).
+    SNR (better low-SNR behavior than the reference's plain ZF divide);
+    equalizer="mmse_cnr" uses the per-subcarrier CNR vector interpolated to
+    every FD bin (frequency-selective noise weighting).
     """
     fn = _receive_fn(
         cfg,

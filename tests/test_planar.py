@@ -163,12 +163,67 @@ def test_mmse_equalizer_beats_zf_at_low_snr():
     pb = jnp.asarray(pl.to_planar(noisy))
 
     errs = {}
-    for eq in ["zf", "mmse"]:
+    for eq in ["zf", "mmse", "mmse_cnr"]:
         out = pp.receive_bursts_planar(CFG, pb, ic_iterations=0, equalizer=eq)
         d_hat = pl.from_planar(np.asarray(out["data"]))
         hard = utils.qpsk_hard_map(d_hat)
         errs[eq] = np.mean(np.abs(hard - data) > 0.1)
     assert errs["mmse"] <= errs["zf"]
+    assert errs["mmse_cnr"] <= errs["zf"]
+
+
+def test_cnr_interpolation_operator_flat_and_mmse_cnr_high_snr():
+    from gfdm_tpu.ops import operators
+
+    # a flat CNR vector must interpolate to a flat per-bin CNR
+    A = operators.cnr_interpolation_operator(CFG)
+    assert A.shape == (CFG.block_len, 2 * (CFG.active_subcarriers // 2))
+    np.testing.assert_allclose(A @ np.ones(A.shape[1]), 1.0, atol=1e-12)
+
+    # at high SNR the per-bin MMSE shrinkage -> 1, i.e. mmse_cnr == zf
+    data = _payloads(CFG, 4, seed=50)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    rng = np.random.default_rng(3)
+    bursts = bursts + 1e-4 * (
+        rng.standard_normal(bursts.shape) + 1j * rng.standard_normal(bursts.shape)
+    ).astype(np.complex64)
+    pb = jnp.asarray(pl.to_planar(bursts))
+    out_zf = pp.receive_bursts_planar(CFG, pb, ic_iterations=0, equalizer="zf")
+    out_pb = pp.receive_bursts_planar(CFG, pb, ic_iterations=0, equalizer="mmse_cnr")
+    np.testing.assert_allclose(
+        np.asarray(out_pb["data"]), np.asarray(out_zf["data"]), atol=1e-3
+    )
+
+
+def test_mmse_channel_complex_helper():
+    import jax
+
+    from gfdm_tpu.ops import estimation as est_ops
+    from gfdm_tpu.ops import rx as rx_ops
+    from gfdm_tpu.runtime import channel as chan_sim
+
+    data = _payloads(CFG, 8, seed=60)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    # flat channel: at high SNR every MMSE variant must reduce to ZF
+    # (with a notched channel they legitimately differ at the fade bins)
+    h = np.array([1.0 + 0.2j])
+    faded = np.asarray(chan_sim.multipath(jnp.asarray(bursts), jnp.asarray(h)))
+    noisy = np.asarray(chan_sim.awgn(jax.random.PRNGKey(9), jnp.asarray(faded), 30.0))
+
+    pre = noisy[:, CFG.cp_len : CFG.cp_len + 2 * CFG.subcarriers]
+    channel = est_ops.estimate_frame(CFG, pre)
+    snr_lin, cnrs = est_ops.estimate_snr(CFG, pre)
+    start = CFG.preamble_len + CFG.cp_len
+    frames = noisy[:, start : start + CFG.block_len]
+
+    # at 30 dB both MMSE variants must essentially match plain ZF
+    d_zf = rx_ops.demodulate_equalized(CFG, frames, channel)
+    for kwargs in ({"snr_lin": snr_lin}, {"cnrs": cnrs}):
+        ch_eff = est_ops.mmse_channel(CFG, channel, **kwargs)
+        d_mmse = rx_ops.demodulate_equalized(CFG, frames, ch_eff)
+        np.testing.assert_allclose(
+            np.asarray(d_mmse), np.asarray(d_zf), atol=5e-3
+        )
 
 
 def test_qpsk_llrs_sign_and_scale():
