@@ -37,6 +37,7 @@ __all__ = [
     "transmit_planar",
     "receive_bursts_planar",
     "detect_bursts_planar",
+    "detect_bursts_topk_planar",
     "extract_bursts_planar",
     "link_step_planar",
 ]
@@ -432,40 +433,48 @@ def _detect_consts(cfg: GfdmConfig, dtype_name: str):
     return np.stack([np.stack([pr, -pi]), np.stack([pi, pr])])  # (2out, 2in, k)
 
 
+def _detect_front_planar(cfg: GfdmConfig, kernel, s, search_limit: int):
+    """Shared planar sync front end: (gated metric, ac, energy, ic trace)."""
+    K = cfg.subcarriers
+    cp_len = cfg.cp_len
+    p_len = 2 * K
+    T = s.shape[-1]
+    lead = s.shape[:-2]
+    # --- coarse autocorrelation ---
+    a = s[..., : T - K]
+    b = s[..., K:]
+    c_prod = pmul(pconj(a), b)
+    p_ms = moving_sum(c_prod, K)[..., : T - 2 * K]
+    energy = moving_sum(pabs2(s), 2 * K)[..., : T - 2 * K]
+    energy = jnp.maximum(energy, 1e-30)
+    ac = p_ms * (2.0 / energy)[..., None, :]
+    ac_mag = jnp.sqrt(pabs2(ac))
+    pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), ac_mag.dtype)
+    ic = moving_sum(jnp.concatenate([pad, ac_mag], axis=-1), cp_len + 1) / (
+        cp_len + 1
+    )
+
+    # --- fine: cross-correlation as a 2-channel real conv ---
+    s_nc = s.reshape((-1, 2, T))
+    cc = jax.lax.conv_general_dilated(
+        s_nc, jnp.asarray(kernel), (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    cc = cc.reshape(lead + (2, T - p_len + 1)) / p_len
+    n_valid = min(T - 2 * K, search_limit)
+    gated = jnp.sqrt(pabs2(cc))[..., :n_valid] * ic[..., :n_valid]
+    return gated, ac, energy, ic
+
+
 @lru_cache(maxsize=16)
 def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype_name: str):
     K = cfg.subcarriers
-    cp_len = cfg.cp_len
     kernel = _detect_consts(cfg, dtype_name)
     p_len = 2 * K
 
     @jax.jit
     def fn(s):
-        T = s.shape[-1]
-        lead = s.shape[:-2]
-        # --- coarse autocorrelation ---
-        a = s[..., : T - K]
-        b = s[..., K:]
-        c_prod = pmul(pconj(a), b)
-        p_ms = moving_sum(c_prod, K)[..., : T - 2 * K]
-        energy = moving_sum(pabs2(s), 2 * K)[..., : T - 2 * K]
-        energy = jnp.maximum(energy, 1e-30)
-        ac = p_ms * (2.0 / energy)[..., None, :]
-        ac_mag = jnp.sqrt(pabs2(ac))
-        pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), ac_mag.dtype)
-        ic = moving_sum(jnp.concatenate([pad, ac_mag], axis=-1), cp_len + 1) / (
-            cp_len + 1
-        )
-
-        # --- fine: cross-correlation as a 2-channel real conv ---
-        s_nc = s.reshape((-1, 2, T))
-        cc = jax.lax.conv_general_dilated(
-            s_nc, jnp.asarray(kernel), (1,), "VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        )
-        cc = cc.reshape(lead + (2, T - p_len + 1)) / p_len
-        n_valid = min(T - 2 * K, search_limit)
-        gated = jnp.sqrt(pabs2(cc))[..., :n_valid] * ic[..., :n_valid]
+        gated, ac, energy, ic = _detect_front_planar(cfg, kernel, s, search_limit)
 
         nc = jnp.argmax(gated, axis=-1)
         peak = jnp.take_along_axis(gated, nc[..., None], axis=-1)[..., 0]
@@ -490,6 +499,63 @@ def detect_bursts_planar(cfg: GfdmConfig, stream, search_limit: int | None = Non
     T = int(stream.shape[-1])
     limit = T if search_limit is None else int(search_limit)
     return _detect_fn_planar(cfg, T, limit, dtype_name)(stream)
+
+
+@lru_cache(maxsize=16)
+def _detect_topk_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int,
+                           max_bursts: int, min_distance: int, dtype_name: str):
+    kernel = _detect_consts(cfg, dtype_name)
+    p_len = 2 * cfg.subcarriers
+
+    @jax.jit
+    def fn(s):
+        gated, ac, energy, _ = _detect_front_planar(cfg, kernel, s, search_limit)
+        pos = jnp.arange(gated.shape[-1])
+
+        def body(g, _):
+            nc = jnp.argmax(g, axis=-1)
+            peak = jnp.take_along_axis(g, nc[..., None], axis=-1)[..., 0]
+            mask = jnp.abs(pos - nc[..., None]) < min_distance
+            return jnp.where(mask, 0.0, g), (nc, peak)
+
+        _, (ncs, peaks) = jax.lax.scan(body, gated, None, length=max_bursts)
+        ncs = jnp.moveaxis(ncs, 0, -1)  # (..., max_bursts)
+        peaks = jnp.moveaxis(peaks, 0, -1)
+        ac_r = jnp.take_along_axis(ac[..., 0, :], ncs, axis=-1)
+        ac_i = jnp.take_along_axis(ac[..., 1, :], ncs, axis=-1)
+        e_at = jnp.take_along_axis(energy, ncs, axis=-1)
+        return {
+            "start": ncs,
+            "cfo": jnp.arctan2(ac_i, ac_r) / (2.0 * jnp.pi),
+            "scale": jnp.sqrt(p_len / e_at),
+            "strength": peaks,
+        }
+
+    return fn
+
+
+def detect_bursts_topk_planar(
+    cfg: GfdmConfig,
+    stream,
+    max_bursts: int,
+    search_limit: int | None = None,
+    min_distance: int | None = None,
+    dtype_name: str = "float32",
+):
+    """Planar top-k burst detection: up to ``max_bursts`` per chunk.
+
+    Iterative peak picking with +-min_distance suppression (defaults to one
+    frame length), the planar counterpart of ops.sync.detect_bursts_topk.
+    Entries beyond the real burst count have near-zero ``strength``.
+    """
+    T = int(stream.shape[-1])
+    limit = T if search_limit is None else int(search_limit)
+    if min_distance is None:
+        min_distance = cfg.frame_len
+    fn = _detect_topk_fn_planar(
+        cfg, T, limit, int(max_bursts), int(min_distance), dtype_name
+    )
+    return fn(stream)
 
 
 @lru_cache(maxsize=16)

@@ -15,7 +15,11 @@ import numpy as np
 from ..config import GfdmConfig
 from .receiver import receive_bursts, receive_stream
 
-__all__ = ["chunk_with_lookahead", "receive_long_stream"]
+__all__ = [
+    "chunk_with_lookahead",
+    "receive_long_stream",
+    "receive_long_stream_planar",
+]
 
 
 def chunk_with_lookahead(stream, chunk_len: int, halo: int):
@@ -72,6 +76,60 @@ def receive_long_stream(
             cfg, rep.reshape((-1, chunks.shape[-1])), det, correct_cfo=correct_cfo
         )
     out = receive_bursts(cfg, bursts, ic_iterations=ic_iterations)
+    out["detection"] = det
+    out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)
+    return out
+
+
+def receive_long_stream_planar(
+    cfg: GfdmConfig,
+    stream,
+    chunk_len: int = 2048,
+    ic_iterations: int = 2,
+    min_strength: float = 0.05,
+    correct_cfo: bool = True,
+    max_bursts_per_chunk: int = 1,
+    dtype_name: str = "float32",
+    method: str = "dense",
+    equalizer: str = "zf",
+):
+    """Planar (TPU-production) counterpart of :func:`receive_long_stream`.
+
+    ``stream``: (..., 2, T) planar IQ recording. Returns the per-slot planar
+    receiver outputs plus detection metadata and a ``found`` mask, with slots
+    flattened over (chunks, bursts-per-chunk).
+    """
+    from ..ops import planar_pipeline as pp
+
+    halo = cfg.frame_len + cfg.cp_len
+    chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
+    # (..., 2, n_chunks, C) -> (..., n_chunks, 2, C)
+    chunks = jnp.moveaxis(chunks, -2, -3)
+    C = chunks.shape[-1]
+    if max_bursts_per_chunk <= 1:
+        det = pp.detect_bursts_planar(
+            cfg, chunks, search_limit=chunk_len, dtype_name=dtype_name
+        )
+        det = {k: v for k, v in det.items() if k != "ac_metric"}
+        bursts = pp.extract_bursts_planar(cfg, chunks, det, correct_cfo=correct_cfo)
+    else:
+        k = int(max_bursts_per_chunk)
+        det_k = pp.detect_bursts_topk_planar(
+            cfg, chunks, max_bursts=k, search_limit=chunk_len,
+            dtype_name=dtype_name,
+        )
+        rep = jnp.broadcast_to(
+            chunks[..., None, :, :], chunks.shape[:-2] + (k, 2, C)
+        )
+        det = {key: det_k[key].reshape(-1) for key in ("start", "cfo", "scale",
+                                                       "strength")}
+        bursts = pp.extract_bursts_planar(
+            cfg, rep.reshape((-1, 2, C)), det, correct_cfo=correct_cfo
+        )
+    out = pp.receive_bursts_planar(
+        cfg, bursts, ic_iterations=ic_iterations, dtype_name=dtype_name,
+        method=method, equalizer=equalizer,
+    )
     out["detection"] = det
     out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)
     return out

@@ -46,6 +46,69 @@ def test_receive_long_stream_multiple_bursts():
     assert utils.evm(hard, data) < 1e-5
 
 
+def test_receive_long_stream_planar_matches_complex():
+    """Planar long-stream composite finds and demodulates the same bursts."""
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.runtime.stream import receive_long_stream_planar
+
+    n_chunks, chunk_len = 4, 2048
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=80 + i) for i in range(2)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(n_chunks * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(5)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    offsets = [300, 2 * chunk_len + chunk_len - 250]  # one straddles into 3
+    for b, off in zip(bursts, offsets):
+        stream[off : off + CFG.frame_len] += b
+
+    out = receive_long_stream_planar(
+        CFG, jnp.asarray(pl.to_planar(stream)), chunk_len=chunk_len,
+        ic_iterations=2,
+    )
+    found = np.asarray(out["found"])
+    assert found.tolist() == [True, False, True, False]
+    d_hat = pl.from_planar(np.asarray(out["data"]))[found]
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
+
+
+def test_receive_long_stream_planar_topk_dense_bursts():
+    """Two bursts inside ONE chunk are both recovered via planar top-k."""
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.runtime.stream import receive_long_stream_planar
+
+    chunk_len = 2048
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=90 + i) for i in range(2)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(2 * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(6)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    offsets = [64, 64 + CFG.frame_len + 32]  # both in chunk 0
+    for b, off in zip(bursts, offsets):
+        stream[off : off + CFG.frame_len] += b
+
+    out = receive_long_stream_planar(
+        CFG, jnp.asarray(pl.to_planar(stream)), chunk_len=chunk_len,
+        ic_iterations=2, max_bursts_per_chunk=2,
+    )
+    found = np.asarray(out["found"])
+    assert found.sum() == 2
+    d_hat = pl.from_planar(np.asarray(out["data"]))[found]
+    starts = np.sort(np.asarray(out["detection"]["start"]).reshape(-1)[found])
+    # detections sit at the core-preamble starts (cp_len past burst start)
+    np.testing.assert_array_equal(starts, np.asarray(offsets) + CFG.cp_len)
+    # order by detected start so payloads line up with the transmit order
+    order = np.argsort(np.asarray(out["detection"]["start"])[found])
+    assert utils.evm(utils.qpsk_hard_map(d_hat[order]), data) < 1e-5
+
+
 def test_ber_sweep_monotone():
     cfg = GfdmConfig()
     res = ber_sweep(cfg, [0.0, 6.0, 14.0], bursts_per_point=64, ic_iterations=1, seed=1)
