@@ -14,13 +14,20 @@ All kernels are validated element-wise against the XLA planar pipeline
 (tests/test_pallas.py, interpret mode on CPU; native Mosaic on TPU, where
 the channel-estimate path is bit-identical).
 
-Performance status on this image's TPU backend (honest, cache-proof
-timings): Mosaic's f32 matmul throughput is ~4x below XLA's for these
-operator shapes, so all matmul-heavy fused kernels run slower than the XLA
-path regardless of fusion savings (e.g. one-kernel receiver 53 ms vs XLA
-13.4 ms at batch 32768). The kernels are kept as correctness-proven
-skeletons: they compile in ~4 s (vs minutes for XLA remote compiles), making
-them the fast-iteration platform once the matmul mode is fixed.
+Performance status on this image's TPU backend (batch 32768, canonical
+config, dependency-forced timings - NOTE: block_until_ready does not force
+execution through this tunnel and identical repeated dispatches serialize
+through a result cache, so valid timings must vary the inputs AND fetch a
+result; earlier measurements that showed Pallas ~4x behind XLA were timing
+artifacts of exactly that):
+  - rx_receiver_fused (channel est + ZF + 2 IC, one VMEM pass, block=128):
+    9.4 ms vs the XLA receiver's 12.5 ms -> 1.32x.
+  - rx_core_fused (ZF core, block=64): 5.9 ms.
+  - XLA transmit: 3.4 ms (a single large matmul; fusion adds little).
+The fused receiver is therefore the production receive path on TPU
+(receive_bursts_fused / link_step_fused); the XLA planar pipeline remains
+the reference implementation and covers the general parameter surface
+(MMSE, arbitrary constellations, phase compensation).
 """
 from __future__ import annotations
 
@@ -34,9 +41,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import GfdmConfig
-from ..ops.planar_pipeline import _np_mats, _small_consts
+from ..ops.planar_pipeline import _device_mats, _small_consts
 
-__all__ = ["rx_core_fused", "rx_ic_fused", "rx_receiver_fused", "rx_full_fused", "tx_frame_fused"]
+__all__ = [
+    "rx_core_fused",
+    "rx_ic_fused",
+    "rx_receiver_fused",
+    "rx_full_fused",
+    "tx_frame_fused",
+    "receive_bursts_fused",
+    "link_step_fused",
+]
 
 
 def _on_tpu() -> bool:
@@ -93,7 +108,7 @@ def rx_core_fused(cfg: GfdmConfig, frames, channel, block: int = 64,
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _np_mats(cfg, "float32")
+    mats = _device_mats(cfg, "float32")
     n = cfg.block_len
     B = frames.shape[0]
     block = min(block, B)
@@ -222,7 +237,7 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _np_mats(cfg, "float32")
+    mats = _device_mats(cfg, "float32")
     BDr, BDi = _block_diag_C(cfg)
     active = np.zeros((1, cfg.block_len), dtype=np.float32)
     for k in cfg.subcarrier_map:
@@ -394,7 +409,7 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _np_mats(cfg, "float32")
+    mats = _device_mats(cfg, "float32")
     n = cfg.block_len
     active = np.zeros((1, n), dtype=np.float32)
     for k in cfg.subcarrier_map:
@@ -516,7 +531,7 @@ def rx_full_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _np_mats(cfg, "float32")
+    mats = _device_mats(cfg, "float32")
     B = bursts.shape[0]
     block = min(block, B)
     if B % block:
@@ -537,33 +552,102 @@ def rx_full_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# production composites: fused receiver + thin XLA metric/demap epilogue
+# ---------------------------------------------------------------------------
+def receive_bursts_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
+                         block: int = 128, interpret: bool | None = None):
+    """Production TPU receive path: one-kernel receiver + XLA epilogue.
+
+    bursts: (B, 2, frame_len) planar, aligned at the full-preamble start.
+    Returns the same dict as planar_pipeline.receive_bursts_planar (ZF
+    equalizer, QPSK decisions). The heavy chain (channel estimation, block
+    FFT, ZF divide, FD demod, circulant IC) runs in one Pallas VMEM pass;
+    only the cheap SNR estimate and the demap gather stay in XLA.
+    """
+    from ..ops.tx import demap_indices
+
+    mats = _device_mats(cfg, "float32")
+    c = _small_consts(cfg, "float32")
+    chan, symbols = rx_receiver_fused(
+        cfg, bursts, ic_iterations=ic_iterations, block=block,
+        interpret=interpret,
+    )
+    K = cfg.subcarriers
+    rx_pre = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K]
+    n2 = rx_pre.shape[-1] * 2
+    F = jnp.matmul(
+        rx_pre.reshape(rx_pre.shape[:-2] + (n2,)), jnp.asarray(mats["F2_W"]),
+        preferred_element_type=jnp.float32,
+    )
+    half = F.shape[-1] // 2
+    p = F[..., :half] ** 2 + F[..., half:] ** 2
+    cnrs = jnp.take(p, jnp.asarray(c["sig_idx"]), axis=-1)
+    sym = jnp.sum(cnrs, axis=-1)
+    noise = jnp.sum(jnp.take(p, jnp.asarray(c["noise_idx"]), axis=-1), axis=-1)
+    snr_lin = (sym - noise) / noise
+    cnrs = cnrs * (snr_lin / (sym / cnrs.shape[-1]))[..., None]
+    data = jnp.take(symbols, jnp.asarray(demap_indices(cfg)), axis=-1)
+    return {
+        "data": data,
+        "symbols": symbols,
+        "channel": chan,
+        "snr_lin": snr_lin,
+        "cnrs": cnrs,
+    }
+
+
+def link_step_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
+                    tx_block: int = 128, rx_block: int = 128,
+                    interpret: bool | None = None):
+    """Fused end-to-end link: payload -> Tx kernel -> Rx kernel -> epilogue.
+
+    Same contract as planar_pipeline.link_step_planar (shift 0, ZF, QPSK).
+    """
+    bursts = tx_frame_fused(cfg, data, block=tx_block, interpret=interpret)
+    out = receive_bursts_fused(
+        cfg, bursts, ic_iterations=ic_iterations, block=rx_block,
+        interpret=interpret,
+    )
+    err = jnp.sum((out["data"] - data) ** 2)
+    ref = jnp.maximum(jnp.sum(data**2), 1e-30)
+    evm = jnp.sqrt(err / ref)
+    return out["data"], out["snr_lin"], evm
+
+
+# ---------------------------------------------------------------------------
 # fused transmitter: map+modulate matmul -> CP gather -> window -> preamble
 # ---------------------------------------------------------------------------
-def _tx_kernel(n: int, w_len: int, p_len: int,
-               data_ref, tw_ref, idx_ref, win_ref, pre_ref, out_ref):
+def _tx_kernel(cfg: GfdmConfig, shift: int,
+               data_ref, tw_ref, win_ref, pre_ref, out_ref):
+    n = cfg.block_len
+    w_len = cfg.window_len
+    p_len = cfg.preamble_len
+    cp, cs = cfg.cp_len, cfg.cs_len
     d = data_ref[:]  # (Bb, 2*n_data)
     core = jnp.dot(d, tw_ref[:], preferred_element_type=jnp.float32)  # (Bb, 2N)
-    core_r, core_i = core[:, :n], core[:, n:]
-    idx = idx_ref[:]  # (1, w_len) int32
-    framed_r = jnp.take(core_r, idx[0], axis=-1) * win_ref[:]
-    framed_i = jnp.take(core_i, idx[0], axis=-1) * win_ref[:]
     bb = d.shape[0]
     pre = pre_ref[:]  # (2, p_len)
-    out_ref[:, :p_len] = jnp.broadcast_to(pre[0], (bb, p_len))
-    out_ref[:, p_len : p_len + w_len] = framed_r
-    L = p_len + w_len
-    out_ref[:, L : L + p_len] = jnp.broadcast_to(pre[1], (bb, p_len))
-    out_ref[:, L + p_len :] = framed_i
+    win = win_ref[:]
+    # CP/CS insertion is three contiguous slices (add_cyclic_prefix_cc.cc:78-90)
+    # - no gather needed, which Mosaic would reject
+    for plane in range(2):
+        c = core[:, plane * n : (plane + 1) * n]
+        framed = jnp.concatenate(
+            [c[:, n - cp - shift :], c, c[:, : cs - shift]], axis=-1
+        ) * win
+        base = plane * (p_len + w_len)
+        out_ref[:, base : base + p_len] = jnp.broadcast_to(pre[plane], (bb, p_len))
+        out_ref[:, base + p_len : base + p_len + w_len] = framed
 
 
 @lru_cache(maxsize=16)
-def _tx_call(cfg: GfdmConfig, batch: int, block: int, interpret: bool):
+def _tx_call(cfg: GfdmConfig, batch: int, block: int, shift: int, interpret: bool):
     n = cfg.block_len
     n_d2 = 2 * cfg.n_data_symbols
     w_len = cfg.window_len
     p_len = cfg.preamble_len
     f2 = 2 * cfg.frame_len
-    kernel = functools.partial(_tx_kernel, n, w_len, p_len)
+    kernel = functools.partial(_tx_kernel, cfg, shift)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, f2), jnp.float32),
@@ -571,7 +655,6 @@ def _tx_call(cfg: GfdmConfig, batch: int, block: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((block, n_d2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_d2, 2 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, p_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -581,26 +664,26 @@ def _tx_call(cfg: GfdmConfig, batch: int, block: int, interpret: bool):
 
 
 def tx_frame_fused(cfg: GfdmConfig, data, block: int = 128,
-                   interpret: bool | None = None):
-    """Fused Tx chain for the first cyclic shift.
+                   interpret: bool | None = None, shift_index: int = 0):
+    """Fused Tx chain for one cyclic shift.
 
     data: (B, 2, n_data) planar payload -> (B, 2, frame_len) planar burst.
-    Equivalent to transmit_planar(cfg, data)[:, 0].
+    Equivalent to transmit_planar(cfg, data)[:, shift_index].
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _np_mats(cfg, "float32")
+    mats = _device_mats(cfg, "float32")
     c = _small_consts(cfg, "float32")
     B = data.shape[0]
     block = min(block, B)
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of block {block}")
-    call = _tx_call(cfg, B, block, bool(interpret))
+    shift = int(cfg.cyclic_shifts[shift_index])
+    call = _tx_call(cfg, B, block, shift, bool(interpret))
     out = call(
         data.reshape(B, -1),
         jnp.asarray(mats["T_W"]),
-        jnp.asarray(c["cp_idx"][0][None, :].astype(np.int32)),
         jnp.asarray(c["win"][None, :]),
-        jnp.asarray(c["preambles"][0]),
+        jnp.asarray(c["preambles"][shift_index]),
     )
     return out.reshape(B, 2, cfg.frame_len)

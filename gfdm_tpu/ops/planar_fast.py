@@ -32,7 +32,14 @@ from ..config import GfdmConfig
 from . import operators
 from .planar import pdiv, pmatmul, pmul, real_operator, to_planar
 
-__all__ = ["fast_fft_n", "fast_ifft_n", "demod_fast", "modulate_core_fast"]
+__all__ = [
+    "fast_fft_n",
+    "fast_ifft_n",
+    "demod_fast",
+    "modulate_core_fast",
+    "estimate_channel_fast",
+    "snr_power_fast",
+]
 
 
 @lru_cache(maxsize=16)
@@ -58,6 +65,96 @@ def _fft_consts(cfg: GfdmConfig, dtype_name: str):
             cfg.rx_filter_taps.reshape(cfg.overlap, M), dtype=dt
         ),
     }
+
+
+@lru_cache(maxsize=16)
+def _est_consts(cfg: GfdmConfig, dtype_name: str):
+    """Factorized channel/SNR estimation constants.
+
+    The dense (2N, 4K) channel-estimation operator (planar_pipeline E_W) is
+    the composition interpolate . smooth . per-half-FFT-times-inverse
+    (preamble_channel_estimator_cc.cc:111-294). Factorized form: two K-point
+    DFT matmuls + elementwise inverse-preamble multiply, one small real
+    (K, n_est) smoothing matmul, and a 2-tap gather/lerp for the linear
+    interpolation - O(K^2) state instead of O(K*N), which is what makes
+    K >= 1024 configs practical.
+    """
+    from ..ref.channel_estimation import PreambleChannelEstimator
+
+    dt = np.dtype(dtype_name)
+    rdt = np.float32 if dtype_name == "bfloat16" else dt
+    K = cfg.subcarriers
+    est = PreambleChannelEstimator(
+        cfg.timeslots, K, cfg.active_subcarriers, cfg.dc_free, cfg.core_preamble
+    )
+    n_est = cfg.active_subcarriers + (1 if cfg.dc_free else 0)
+    # The reference's 0.5/FFT(preamble half) inverse is +-inf at unused
+    # subcarriers (preamble energy 0 there); the smoothing stage never reads
+    # those bins, but in factorized form 0 * inf would poison the matmul -
+    # mask the inverse to the active band the smoother actually reads.
+    half = cfg.active_subcarriers // 2
+    offset = 1 if cfg.dc_free else 0
+    read_mask = np.zeros(K)
+    read_mask[offset : offset + half] = 1.0
+    read_mask[K - half : K] = 1.0
+    inv0 = np.where(read_mask > 0, est.inv_freq_preamble0, 0.0)
+    inv1 = np.where(read_mask > 0, est.inv_freq_preamble1, 0.0)
+    # smoothing (step 2) as a small real matrix, probed column-wise
+    S = np.zeros((K, n_est), dtype=np.float64)
+    e = np.zeros(K, dtype=np.complex128)
+    for j in range(K):
+        e[j] = 1.0
+        S[j, :] = est.filter_preamble_estimate(e).real
+        e[j] = 0.0
+    # interpolation (step 3) as gather + lerp: probe with arange so each
+    # output bin encodes (left index + fractional weight) exactly
+    p1 = est.interpolate_frame(np.arange(n_est, dtype=np.float64)).real
+    idxA = np.floor(p1 + 1e-9).astype(np.int32)
+    t = (p1 - idxA).astype(rdt)
+    idxB = np.minimum(idxA + 1, n_est - 1).astype(np.int32)
+    k2 = np.arange(2 * K)
+    return {
+        "FK_W": real_operator(operators.dft_matrix(K).T, dt),
+        "inv0": to_planar(inv0, dtype=rdt),  # (2, K), masked to active band
+        "inv1": to_planar(inv1, dtype=rdt),
+        "S_T": S.astype(rdt),  # (K, n_est)
+        "idxA": idxA,
+        "idxB": idxB,
+        "t": t,
+        "tw2": to_planar(np.exp(-2j * np.pi * k2 / (2 * K)), dtype=rdt),
+    }
+
+
+def estimate_channel_fast(cfg: GfdmConfig, rx_pre, consts):
+    """Factorized channel estimate: (..., 2, 2K) preamble -> (..., 2, N).
+
+    Matches pmatmul(rx_pre, E_W) (the dense estimator) element-wise.
+    """
+    K = cfg.subcarriers
+    r0, r1 = rx_pre[..., :K], rx_pre[..., K:]
+    e = pmul(pmatmul(r0, consts["FK_W"]), jnp.asarray(consts["inv0"])) + pmul(
+        pmatmul(r1, consts["FK_W"]), jnp.asarray(consts["inv1"])
+    )
+    f = e @ jnp.asarray(consts["S_T"])  # real smoothing, per plane
+    fA = jnp.take(f, jnp.asarray(consts["idxA"]), axis=-1)
+    fB = jnp.take(f, jnp.asarray(consts["idxB"]), axis=-1)
+    t = jnp.asarray(consts["t"])
+    return fA * (1.0 - t) + fB * t
+
+
+def snr_power_fast(cfg: GfdmConfig, rx_pre, consts):
+    """|FFT_2K(preamble)|^2 via a radix-2 split: two K-point stages.
+
+    Matches pabs2(pmatmul(rx_pre, F2_W)) without the (4K, 4K) dense DFT.
+    """
+    ev, od = rx_pre[..., 0::2], rx_pre[..., 1::2]
+    A = pmatmul(ev, consts["FK_W"])
+    Bv = pmatmul(od, consts["FK_W"])
+    A2 = jnp.concatenate([A, A], axis=-1)
+    B2 = pmul(jnp.asarray(consts["tw2"]), jnp.concatenate([Bv, Bv], axis=-1))
+    from .planar import pabs2
+
+    return pabs2(A2 + B2)
 
 
 def fast_fft_n(cfg: GfdmConfig, x, consts):

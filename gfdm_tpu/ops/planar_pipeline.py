@@ -46,6 +46,29 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # device-resident operator matrices (one transfer per config+dtype)
 # ---------------------------------------------------------------------------
+def _interference_matrix(cfg: GfdmConfig) -> np.ndarray:
+    """(M, M) time-domain IC operator C = idft_M . diag(ic_taps) . dft_M."""
+    return (
+        operators.idft_matrix(cfg.timeslots)
+        @ np.diag(_ic_taps_ref(cfg.rx_filter_taps, cfg.timeslots, cfg.overlap))
+        @ operators.dft_matrix(cfg.timeslots)
+    )
+
+
+@lru_cache(maxsize=16)
+def _np_mats_fast(cfg: GfdmConfig, dtype_name: str):
+    """Small-operator set for method='fast': no O(N^2) matrices anywhere,
+    so K >= 1024 configs stay practical (the factorized stages carry only
+    K- and M-point matrices, gfdm_tpu.ops.planar_fast)."""
+    dt = np.dtype(dtype_name)
+    return {
+        "C_W": real_operator(_interference_matrix(cfg).T, dt),
+        "CNRI_T": np.ascontiguousarray(
+            operators.cnr_interpolation_operator(cfg).T.astype(dt)
+        ),
+    }
+
+
 @lru_cache(maxsize=16)
 def _np_mats(cfg: GfdmConfig, dtype_name: str):
     dt = np.dtype(dtype_name)
@@ -72,14 +95,7 @@ def _np_mats(cfg: GfdmConfig, dtype_name: str):
         "iFm_W": real_operator(operators.idft_matrix(M).T, dt),
         # interference operator: time-domain form of fft -> x ic_taps -> ifft
         # (one tiny matmul per IC iteration instead of two transforms)
-        "C_W": real_operator(
-            (
-                operators.idft_matrix(M)
-                @ np.diag(_ic_taps_ref(cfg.rx_filter_taps, M, cfg.overlap))
-                @ operators.dft_matrix(M)
-            ).T,
-            dt,
-        ),
+        "C_W": real_operator(_interference_matrix(cfg).T, dt),
     }
 
 
@@ -95,7 +111,7 @@ def _tracing_active() -> bool:
         return False
 
 
-def _device_mats(cfg: GfdmConfig, dtype_name: str):
+def _device_mats(cfg: GfdmConfig, dtype_name: str, method: str = "dense"):
     """Operator matrices as device arrays, transferred once per config.
 
     Must never create (or cache) device arrays while a jit/shard_map trace is
@@ -103,12 +119,14 @@ def _device_mats(cfg: GfdmConfig, dtype_name: str):
     matrices are returned instead (they become compile-time constants of the
     outer program); call prepare() once outside any trace to get the
     pass-by-argument fast path.
+
+    method="fast" loads only the small-operator set (_np_mats_fast).
     """
-    key = (cfg, dtype_name)
+    key = (cfg, dtype_name, method)
     hit = _DEVICE_MATS_CACHE.get(key)
     if hit is not None:
         return hit
-    mats = _np_mats(cfg, dtype_name)
+    mats = (_np_mats_fast if method == "fast" else _np_mats)(cfg, dtype_name)
     if _tracing_active():
         return mats
     mats = {k: jax.device_put(v) for k, v in mats.items()}
@@ -116,10 +134,11 @@ def _device_mats(cfg: GfdmConfig, dtype_name: str):
     return mats
 
 
-def prepare(cfg: GfdmConfig, dtype_name: str = "float32") -> None:
+def prepare(cfg: GfdmConfig, dtype_name: str = "float32",
+            method: str = "dense") -> None:
     """Eagerly build + upload all operators (call once, outside jit)."""
     assert not _tracing_active(), "prepare() must run outside jit"
-    _device_mats(cfg, dtype_name)
+    _device_mats(cfg, dtype_name, method)
 
 
 @lru_cache(maxsize=16)
@@ -195,9 +214,16 @@ def _tx_fast_fn(cfg: GfdmConfig, dtype_name: str):
     c = _small_consts(cfg, dtype_name)
     fft_consts = planar_fast._fft_consts(cfg, dtype_name)
     n_data = cfg.n_data_symbols
+    # direct index form of the resource-mapper scatter (no O(N*n_data) matrix)
     map_idx = np.full(cfg.block_len, n_data, dtype=np.int32)
-    rows, cols = np.nonzero(operators.mapping_matrix(cfg).real)
-    map_idx[rows] = cols
+    smap = cfg.subcarrier_map
+    M = cfg.timeslots
+    for j in range(n_data):
+        if cfg.per_timeslot:
+            tidx, aidx = divmod(j, smap.size)
+        else:
+            aidx, tidx = divmod(j, M)
+        map_idx[M * smap[aidx] + tidx] = j
 
     @jax.jit
     def fn(d):
@@ -266,8 +292,9 @@ def _receive_fn(
         from . import planar_fast
 
         fft_consts = planar_fast._fft_consts(cfg, dtype_name)
+        est_consts = planar_fast._est_consts(cfg, dtype_name)
     else:
-        fft_consts = None
+        fft_consts = est_consts = None
     c = _small_consts(cfg, dtype_name)
     K, M = cfg.subcarriers, cfg.timeslots
     points = np.asarray(constellation)
@@ -279,10 +306,16 @@ def _receive_fn(
     def fn(bursts, mats):
         # bursts: (..., 2, >= frame_len) aligned at full-preamble start
         rx_pre = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K]
-        channel = pmatmul(rx_pre, mats["E_W"])  # (..., 2, N)
-        # SNR from the 2K preamble FFT
-        F = pmatmul(rx_pre, mats["F2_W"])
-        p = pabs2(F)
+        if method == "fast":
+            from . import planar_fast
+
+            channel = planar_fast.estimate_channel_fast(cfg, rx_pre, est_consts)
+            p = planar_fast.snr_power_fast(cfg, rx_pre, est_consts)
+        else:
+            channel = pmatmul(rx_pre, mats["E_W"])  # (..., 2, N)
+            # SNR from the 2K preamble FFT
+            F = pmatmul(rx_pre, mats["F2_W"])
+            p = pabs2(F)
         cnrs = jnp.take(p, jnp.asarray(c["sig_idx"]), axis=-1)
         sym = jnp.sum(cnrs, axis=-1)
         noise = jnp.sum(jnp.take(p, jnp.asarray(c["noise_idx"]), axis=-1), axis=-1)
@@ -415,7 +448,7 @@ def receive_bursts_planar(
         method,
         equalizer,
     )
-    return fn(bursts, _device_mats(cfg, dtype_name))
+    return fn(bursts, _device_mats(cfg, dtype_name, method))
 
 
 # ---------------------------------------------------------------------------

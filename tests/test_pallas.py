@@ -101,3 +101,49 @@ def test_rx_receiver_fused_circulant_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape), atol=5e-4
     )
+
+
+def test_receive_bursts_fused_composite_matches_xla():
+    from gfdm_tpu.kernels.fused import receive_bursts_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=70)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    rng = np.random.default_rng(2)
+    noise = 0.01 * rng.standard_normal(np.asarray(bursts).shape).astype(np.float32)
+    bursts = bursts + noise
+    ref = receive_bursts_planar(CFG, bursts, ic_iterations=2)
+    got = receive_bursts_fused(CFG, bursts, ic_iterations=2, block=4)
+    for key in ("data", "symbols", "channel"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(got["snr_lin"]), np.asarray(ref["snr_lin"]), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cnrs"]), np.asarray(ref["cnrs"]), rtol=1e-2
+    )
+
+
+def test_link_step_fused_matches_xla():
+    from gfdm_tpu.kernels.fused import link_step_fused
+    from gfdm_tpu.ops.planar_pipeline import link_step_planar
+
+    data = _planar_payload(8, seed=80)
+    d_ref, snr_ref, evm_ref = link_step_planar(CFG, data, ic_iterations=2)
+    d_got, snr_got, evm_got = link_step_fused(CFG, data, ic_iterations=2,
+                                              tx_block=4, rx_block=4)
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref), atol=1e-4)
+    assert abs(float(evm_got) - float(evm_ref)) < 1e-4
+
+
+def test_tx_fused_cyclic_shift_port():
+    cfg = GfdmConfig(cyclic_shifts=(0, 4))
+    d = np.stack(
+        [utils.random_qpsk(cfg.n_data_symbols, seed=90 + i) for i in range(4)]
+    ).astype(np.complex64)
+    data = jnp.asarray(pl_ops.to_planar(d))
+    ref = np.asarray(transmit_planar(cfg, data))[:, 1]
+    got = np.asarray(tx_frame_fused(cfg, data, block=4, shift_index=1))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

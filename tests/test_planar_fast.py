@@ -93,3 +93,42 @@ def test_fast_path_scales_to_large_config():
     )
     back = pf.fast_ifft_n(cfg, X, consts)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_fast_channel_estimation_matches_dense():
+    from gfdm_tpu.ops.planar_pipeline import _np_mats
+
+    for cfg in (CFG, GfdmConfig(dc_free=False)):
+        consts = pf._est_consts(cfg, "float32")
+        mats = _np_mats(cfg, "float32")
+        rx_pre = _planar(2 * cfg.subcarriers, 3, seed=41)
+        dense = pl.pmatmul(rx_pre, jnp.asarray(mats["E_W"]))
+        fast = pf.estimate_channel_fast(cfg, rx_pre, consts)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(dense), atol=1e-4
+        )
+        # SNR power spectrum parity (radix-2 split vs dense 2K DFT)
+        p_dense = pl.pabs2(pl.pmatmul(rx_pre, jnp.asarray(mats["F2_W"])))
+        p_fast = pf.snr_power_fast(cfg, rx_pre, consts)
+        np.testing.assert_allclose(
+            np.asarray(p_fast), np.asarray(p_dense), atol=1e-3,
+            rtol=1e-4,
+        )
+
+
+def test_fast_receiver_no_dense_operators_large_config():
+    """K=512 end-to-end in fast mode: never builds an O(N^2) operator."""
+    from gfdm_tpu.ops.planar_pipeline import link_step_planar
+
+    cfg = GfdmConfig(subcarriers=512, active_subcarriers=400, timeslots=9,
+                     cp_len=64, cs_len=32)
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(
+        ((rng.integers(0, 2, (4, 2, cfg.n_data_symbols)) * 2 - 1) / np.sqrt(2)
+         ).astype(np.float32)
+    )
+    d_hat, snr, evm = link_step_planar(cfg, d, ic_iterations=1, method="fast")
+    # loopback decisions must be clean (MF self-interference floor only)
+    hard = np.where(np.asarray(d_hat) >= 0, 1.0, -1.0) / np.sqrt(2)
+    np.testing.assert_allclose(hard, np.asarray(d), atol=1e-6)
+    assert float(evm) < 0.2
