@@ -24,10 +24,22 @@ artifacts of exactly that):
     9.4 ms vs the XLA receiver's 12.5 ms -> 1.32x.
   - rx_core_fused (ZF core, block=64): 5.9 ms.
   - XLA transmit: 3.4 ms (a single large matmul; fusion adds little).
+  - link_step_fused (Tx kernel + Rx kernel): 11.05 ms = 2.97 Mbursts/s =
+    2.23 Gsamples/s, EVM identical to the XLA path.
 The fused receiver is therefore the production receive path on TPU
 (receive_bursts_fused / link_step_fused); the XLA planar pipeline remains
 the reference implementation and covers the general parameter surface
 (MMSE, arbitrary constellations, phase compensation).
+
+Structure-exploiting variants, both validated element-wise and kept for
+large-K configs, LOSE at the canonical K=64 size (the dense receiver runs
+at ~20 TFLOP/s - this virtualized chip's measured matmul ceiling in both
+f32 and bf16 - while roll-based data movement is comparatively expensive):
+  - rx_receiver_factored (Cooley-Tukey FFT in VMEM: K-stage matmuls + all
+    small maps as coefficient rolls, 0.9M vs 5.9M MXU FLOP/burst): 11.5 ms.
+  - rx_receiver_hybrid (dense F matmul, roll-based fold + M-point IFFT):
+    10.2 ms. The 11 roll passes cost more than the 2.65M-FLOP Bfd matmul.
+Their crossover is where dense operators scale quadratically (K >= ~256).
 """
 from __future__ import annotations
 
@@ -47,6 +59,8 @@ __all__ = [
     "rx_core_fused",
     "rx_ic_fused",
     "rx_receiver_fused",
+    "rx_receiver_factored",
+    "rx_receiver_hybrid",
     "rx_full_fused",
     "tx_frame_fused",
     "receive_bursts_fused",
@@ -549,6 +563,420 @@ def rx_full_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
         jnp.asarray(active),
     )
     return out.reshape(B, 2, cfg.block_len)
+
+
+# ---------------------------------------------------------------------------
+# factorized receiver: Cooley-Tukey FFT in VMEM, rolls for everything small
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _factored_consts(cfg: GfdmConfig):
+    """Constants for the factorized receiver kernel (all lane-aligned 2-D).
+
+    The N = K*M block DFT is split as K-point matmuls (contraction 2K - a
+    full MXU tile for K=64) + an M-point stage expressed as M coefficient-
+    weighted full-row rolls (the (M, K)-layout M-stage only mixes elements
+    exactly K apart, so flat rolls by j*K realize it with zero masks).
+    The sparse fold and the per-subcarrier M-point IFFT are likewise
+    coefficient-weighted (masked) rolls - any blockdiag-repeated (M, M)
+    linear map equals M masked rolls with per-position coefficient vectors.
+    MXU work drops from 5.9M to 0.9M FLOP/burst vs the dense-operator kernel.
+    """
+    from ..ops import operators as _ops
+    from ..ops.planar import real_operator
+
+    K, M, L = cfg.subcarriers, cfg.timeslots, cfg.overlap
+    N = cfg.block_len
+    WM = _ops.dft_matrix(M)
+    T = np.exp(-2j * np.pi * np.outer(np.arange(M), np.arange(K)) / N)
+    mc = np.zeros((M, N), dtype=np.complex128)
+    for j in range(M):
+        for k1 in range(M):
+            n1 = (k1 - j) % M
+            mc[j, k1 * K : (k1 + 1) * K] = WM[k1, n1] * T[n1, :]
+    parts = cfg.rx_filter_taps.reshape(L, M)
+    ft = np.stack([np.tile(parts[(i + L // 2) % L], K) for i in range(L)])
+    iFM = _ops.idft_matrix(M)
+    iv = np.zeros((M, N), dtype=np.complex128)
+    for j in range(M):
+        for nn in range(M):
+            iv[j].reshape(K, M)[:, nn] = iFM[nn, (nn - j) % M]
+    # reorder indices: xt[n1*K + n2] = frame[M*n2 + n1]
+    n1g, n2g = np.meshgrid(np.arange(M), np.arange(K), indexing="ij")
+    reorder = (M * n2g + n1g).reshape(-1).astype(np.int32)
+    f32 = np.float32
+    return {
+        "FK_W": real_operator(_ops.dft_matrix(K), f32),  # (2K, 2K), symmetric
+        "mcr": mc.real.astype(f32), "mci": mc.imag.astype(f32),
+        "ftr": ft.real.astype(f32), "fti": ft.imag.astype(f32),
+        "ivr": iv.real.astype(f32), "ivi": iv.imag.astype(f32),
+        "reorder": reorder,
+    }
+
+
+def _rx_factored_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                        c_taps_r: tuple, c_taps_i: tuple,
+                        xt_ref, pre_ref, e_ref, fk_ref, mcr_ref, mci_ref,
+                        ftr_ref, fti_ref, ivr_ref, ivi_ref,
+                        act_ref, mlt_ref, chan_ref, out_ref):
+    K, M, L = cfg.subcarriers, cfg.timeslots, cfg.overlap
+    n = cfg.block_len
+
+    chan = jnp.dot(pre_ref[:], e_ref[:], preferred_element_type=jnp.float32)
+    chan_ref[:] = chan
+
+    xt = xt_ref[:]  # (Bb, 2N) in (n1, n2) layout, [re | im]
+    fk = fk_ref[:]
+    # --- K-stage: M planar matmuls, contraction 2K (one full MXU tile) ----
+    zr_parts, zi_parts = [], []
+    for n1 in range(M):
+        row = jnp.concatenate(
+            [xt[:, n1 * K : (n1 + 1) * K], xt[:, n + n1 * K : n + (n1 + 1) * K]],
+            axis=1,
+        )  # (Bb, 2K) planar
+        z = jnp.dot(row, fk, preferred_element_type=jnp.float32)
+        zr_parts.append(z[:, :K])
+        zi_parts.append(z[:, K:])
+    Zr = jnp.concatenate(zr_parts, axis=1)  # (Bb, N), (n1, k2) layout
+    Zi = jnp.concatenate(zi_parts, axis=1)
+
+    def groll(v, shift):
+        shift = shift % n
+        if shift == 0:
+            return v
+        return jnp.concatenate([v[:, n - shift :], v[:, : n - shift]], axis=1)
+
+    # --- M-stage: X[k1*K+k2] = sum_j mc_j * Z[((k1-j)%M)*K + k2] ----------
+    mcr, mci = mcr_ref[:], mci_ref[:]
+    Xr = jnp.zeros_like(Zr)
+    Xi = jnp.zeros_like(Zi)
+    for j in range(M):
+        rr = groll(Zr, j * K)
+        ri = groll(Zi, j * K)
+        cr_, ci_ = mcr[j : j + 1, :], mci[j : j + 1, :]
+        Xr = Xr + cr_ * rr - ci_ * ri
+        Xi = Xi + cr_ * ri + ci_ * rr
+    # X is now the natural-order block spectrum
+
+    # --- ZF divide ---------------------------------------------------------
+    Cr, Ci = chan[:, :n], chan[:, n:]
+    den = jnp.maximum(Cr * Cr + Ci * Ci, 1e-30)
+    Yr = (Xr * Cr + Xi * Ci) / den
+    Yi = (Xi * Cr - Xr * Ci) / den
+
+    # --- sparse fold: L tap-weighted rolls by multiples of M ---------------
+    ftr, fti = ftr_ref[:], fti_ref[:]
+    Sr = jnp.zeros_like(Yr)
+    Si = jnp.zeros_like(Yi)
+    for i in range(L):
+        s = (-(i - L // 2) * M) % n
+        rr = groll(Yr, s)
+        ri = groll(Yi, s)
+        tr_, ti_ = ftr[i : i + 1, :], fti[i : i + 1, :]
+        Sr = Sr + tr_ * rr - ti_ * ri
+        Si = Si + tr_ * ri + ti_ * rr
+
+    def block_rot(v, j):
+        if j == 0:
+            return v
+        return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
+
+    # --- per-subcarrier M-point IFFT: M masked coefficient rolls -----------
+    ivr, ivi = ivr_ref[:], ivi_ref[:]
+    d0r = jnp.zeros_like(Sr)
+    d0i = jnp.zeros_like(Si)
+    for j in range(M):
+        rr = block_rot(Sr, j)
+        ri = block_rot(Si, j)
+        cr_, ci_ = ivr[j : j + 1, :], ivi[j : j + 1, :]
+        d0r = d0r + cr_ * rr - ci_ * ri
+        d0i = d0i + cr_ * ri + ci_ * rr
+
+    # --- decision-directed IC (circulant form, unchanged) ------------------
+    act = act_ref[:]
+    a = qpsk_amp
+    dr, di = d0r, d0i
+    for _ in range(ic_iterations):
+        hr = jnp.where(dr >= 0, a, -a) * act
+        hi = jnp.where(di >= 0, a, -a) * act
+        nr = groll(hr, M) + groll(hr, -M)
+        ni = groll(hi, M) + groll(hi, -M)
+        ir = jnp.zeros_like(nr)
+        ii = jnp.zeros_like(ni)
+        for j in range(M):
+            sr = block_rot(nr, j)
+            si = block_rot(ni, j)
+            cr_, ci_ = c_taps_r[j], c_taps_i[j]
+            ir = ir + cr_ * sr - ci_ * si
+            ii = ii + cr_ * si + ci_ * sr
+        dr = d0r - ir
+        di = d0i - ii
+
+    out_ref[:, :n] = dr
+    out_ref[:, n:] = di
+
+
+@lru_cache(maxsize=16)
+def _rx_factored_call(cfg: GfdmConfig, batch: int, block: int,
+                      ic_iterations: int, qpsk_amp: float, interpret: bool):
+    from ..ops import operators as _ops
+    from ..ref.demodulation import ic_filter_taps as _ic
+
+    n = cfg.block_len
+    n2 = 2 * n
+    M = cfg.timeslots
+    K = cfg.subcarriers
+    e_rows = 2 * 2 * K
+    Cmat = (
+        _ops.idft_matrix(M)
+        @ np.diag(_ic(cfg.rx_filter_taps, M, cfg.overlap))
+        @ _ops.dft_matrix(M)
+    )
+    c_col = Cmat[:, 0]
+    kernel = functools.partial(
+        _rx_factored_kernel, cfg, ic_iterations, qpsk_amp,
+        tuple(float(x) for x in c_col.real),
+        tuple(float(x) for x in c_col.imag),
+    )
+    const2d = lambda r: pl.BlockSpec((r, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n2), jnp.float32),  # chan
+            jax.ShapeDtypeStruct((batch, n2), jnp.float32),  # symbols
+        ),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, e_rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_rows, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K, 2 * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const2d(M), const2d(M),              # mcr, mci
+            const2d(cfg.overlap), const2d(cfg.overlap),  # ftr, fti
+            const2d(M), const2d(M),              # ivr, ivi
+            const2d(1),                          # act
+            const2d(M - 1),                      # mlt
+        ],
+        out_specs=(
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+
+def _rx_hybrid_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                      c_taps_r: tuple, c_taps_i: tuple,
+                      burst_ref, e_ref, fw_ref,
+                      ftr_ref, fti_ref, ivr_ref, ivi_ref,
+                      act_ref, mlt_ref, chan_ref, out_ref):
+    """Dense block FFT (one big MXU matmul) + roll-based fold/M-IFFT/IC.
+
+    Kills the dense Bfd matmul (2.65M FLOP/burst) for 11 VPU roll passes;
+    keeps the well-shaped F matmul on the MXU.
+    """
+    K, M, L = cfg.subcarriers, cfg.timeslots, cfg.overlap
+    n = cfg.block_len
+    pre_len = 2 * 2 * K
+    Lf = cfg.frame_len
+    cp = cfg.cp_len
+    fs = cfg.preamble_len + cfg.cp_len
+
+    burst = burst_ref[:]  # (Bb, 2*frame_len)
+    pre2 = jnp.concatenate(
+        [burst[:, cp : cp + pre_len // 2],
+         burst[:, Lf + cp : Lf + cp + pre_len // 2]], axis=-1
+    )
+    chan = jnp.dot(pre2, e_ref[:], preferred_element_type=jnp.float32)
+    chan_ref[:] = chan
+    frame = jnp.concatenate(
+        [burst[:, fs : fs + n], burst[:, Lf + fs : Lf + fs + n]], axis=-1
+    )
+    X = jnp.dot(frame, fw_ref[:], preferred_element_type=jnp.float32)
+    Xr, Xi = X[:, :n], X[:, n:]
+    Cr, Ci = chan[:, :n], chan[:, n:]
+    den = jnp.maximum(Cr * Cr + Ci * Ci, 1e-30)
+    Yr = (Xr * Cr + Xi * Ci) / den
+    Yi = (Xi * Cr - Xr * Ci) / den
+
+    def groll(v, shift):
+        shift = shift % n
+        if shift == 0:
+            return v
+        return jnp.concatenate([v[:, n - shift :], v[:, : n - shift]], axis=1)
+
+    def block_rot(v, j):
+        if j == 0:
+            return v
+        return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
+
+    ftr, fti = ftr_ref[:], fti_ref[:]
+    Sr = jnp.zeros_like(Yr)
+    Si = jnp.zeros_like(Yi)
+    for i in range(L):
+        s = (-(i - L // 2) * M) % n
+        rr = groll(Yr, s)
+        ri = groll(Yi, s)
+        tr_, ti_ = ftr[i : i + 1, :], fti[i : i + 1, :]
+        Sr = Sr + tr_ * rr - ti_ * ri
+        Si = Si + tr_ * ri + ti_ * rr
+
+    ivr, ivi = ivr_ref[:], ivi_ref[:]
+    d0r = jnp.zeros_like(Sr)
+    d0i = jnp.zeros_like(Si)
+    for j in range(M):
+        rr = block_rot(Sr, j)
+        ri = block_rot(Si, j)
+        cr_, ci_ = ivr[j : j + 1, :], ivi[j : j + 1, :]
+        d0r = d0r + cr_ * rr - ci_ * ri
+        d0i = d0i + cr_ * ri + ci_ * rr
+
+    act = act_ref[:]
+    a = qpsk_amp
+    dr, di = d0r, d0i
+    for _ in range(ic_iterations):
+        hr = jnp.where(dr >= 0, a, -a) * act
+        hi = jnp.where(di >= 0, a, -a) * act
+        nr = groll(hr, M) + groll(hr, -M)
+        ni = groll(hi, M) + groll(hi, -M)
+        ir = jnp.zeros_like(nr)
+        ii = jnp.zeros_like(ni)
+        for j in range(M):
+            sr = block_rot(nr, j)
+            si = block_rot(ni, j)
+            cr_, ci_ = c_taps_r[j], c_taps_i[j]
+            ir = ir + cr_ * sr - ci_ * si
+            ii = ii + cr_ * si + ci_ * sr
+        dr = d0r - ir
+        di = d0i - ii
+
+    out_ref[:, :n] = dr
+    out_ref[:, n:] = di
+
+
+@lru_cache(maxsize=16)
+def _rx_hybrid_call(cfg: GfdmConfig, batch: int, block: int,
+                    ic_iterations: int, qpsk_amp: float, interpret: bool):
+    from ..ops import operators as _ops
+    from ..ref.demodulation import ic_filter_taps as _ic
+
+    n = cfg.block_len
+    n2 = 2 * n
+    M = cfg.timeslots
+    f2 = 2 * cfg.frame_len
+    e_rows = 2 * 2 * cfg.subcarriers
+    Cmat = (
+        _ops.idft_matrix(M)
+        @ np.diag(_ic(cfg.rx_filter_taps, M, cfg.overlap))
+        @ _ops.dft_matrix(M)
+    )
+    c_col = Cmat[:, 0]
+    kernel = functools.partial(
+        _rx_hybrid_kernel, cfg, ic_iterations, qpsk_amp,
+        tuple(float(x) for x in c_col.real),
+        tuple(float(x) for x in c_col.imag),
+    )
+    const2d = lambda r: pl.BlockSpec((r, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n2), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n2), jnp.float32),
+        ),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, f2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_rows, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const2d(cfg.overlap), const2d(cfg.overlap),
+            const2d(M), const2d(M),
+            const2d(1),
+            const2d(M - 1),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+
+def rx_receiver_hybrid(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
+                       block: int = 128, interpret: bool | None = None,
+                       qpsk_amp: float = 2.0**-0.5):
+    """One-kernel receiver: dense F matmul + roll-based demod stage.
+
+    Same contract as rx_receiver_fused, with the Bfd dense matmul replaced
+    by the sparse fold (2 tap-weighted rolls) and the per-subcarrier M-point
+    IFFT (M masked coefficient rolls).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    mats = _device_mats(cfg, "float32")
+    fc = _factored_consts(cfg)
+    n = cfg.block_len
+    active = np.zeros((1, n), dtype=np.float32)
+    for k in cfg.subcarrier_map:
+        active[0, k * cfg.timeslots : (k + 1) * cfg.timeslots] = 1.0
+    B = bursts.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of block {block}")
+    call = _rx_hybrid_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
+                           bool(interpret))
+    chan, out = call(
+        bursts.reshape(B, -1),
+        jnp.asarray(mats["E_W"]),
+        jnp.asarray(mats["F_W"]),
+        jnp.asarray(fc["ftr"]), jnp.asarray(fc["fti"]),
+        jnp.asarray(fc["ivr"]), jnp.asarray(fc["ivi"]),
+        jnp.asarray(active),
+        jnp.asarray(_circ_masks(cfg)),
+    )
+    return chan.reshape(B, 2, n), out.reshape(B, 2, n)
+
+
+def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
+                         block: int = 128, interpret: bool | None = None,
+                         qpsk_amp: float = 2.0**-0.5):
+    """Factorized one-kernel receiver (channel est + ZF + demod + IC).
+
+    Same contract as rx_receiver_fused, but the block FFT and FD demod run
+    as a Cooley-Tukey decomposition inside VMEM (K-stage matmuls + roll-based
+    M-stage/fold/M-IFFT) - ~6.7x less MXU work than the dense-operator
+    kernel. The input reorder to the (n1, n2) layout is one cheap XLA gather.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    mats = _device_mats(cfg, "float32")
+    fc = _factored_consts(cfg)
+    n = cfg.block_len
+    K = cfg.subcarriers
+    active = np.zeros((1, n), dtype=np.float32)
+    for k in cfg.subcarrier_map:
+        active[0, k * cfg.timeslots : (k + 1) * cfg.timeslots] = 1.0
+    B = bursts.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of block {block}")
+
+    fs = cfg.preamble_len + cfg.cp_len
+    frame = bursts[..., fs : fs + n]
+    xt = jnp.take(frame, jnp.asarray(fc["reorder"]), axis=-1).reshape(B, 2 * n)
+    pre2 = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K].reshape(B, 4 * K)
+
+    call = _rx_factored_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
+                             bool(interpret))
+    chan, out = call(
+        xt, pre2,
+        jnp.asarray(mats["E_W"]),
+        jnp.asarray(fc["FK_W"]),
+        jnp.asarray(fc["mcr"]), jnp.asarray(fc["mci"]),
+        jnp.asarray(fc["ftr"]), jnp.asarray(fc["fti"]),
+        jnp.asarray(fc["ivr"]), jnp.asarray(fc["ivi"]),
+        jnp.asarray(active),
+        jnp.asarray(_circ_masks(cfg)),
+    )
+    return chan.reshape(B, 2, n), out.reshape(B, 2, n)
 
 
 # ---------------------------------------------------------------------------

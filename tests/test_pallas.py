@@ -147,3 +147,25 @@ def test_tx_fused_cyclic_shift_port():
     ref = np.asarray(transmit_planar(cfg, data))[:, 1]
     got = np.asarray(tx_frame_fused(cfg, data, block=4, shift_index=1))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_rx_receiver_factored_and_hybrid_match_xla():
+    """Structure-exploiting receiver kernels are element-wise equivalent."""
+    from gfdm_tpu.kernels.fused import rx_receiver_factored, rx_receiver_hybrid
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=100)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    rng = np.random.default_rng(4)
+    bursts = bursts + 0.01 * rng.standard_normal(
+        np.asarray(bursts).shape
+    ).astype(np.float32)
+    ref = receive_bursts_planar(CFG, bursts, ic_iterations=2)
+    for fn in (rx_receiver_factored, rx_receiver_hybrid):
+        chan, sym = fn(CFG, bursts, ic_iterations=2, block=4)
+        np.testing.assert_allclose(
+            np.asarray(chan), np.asarray(ref["channel"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sym), np.asarray(ref["symbols"]), atol=1e-4
+        )
