@@ -20,6 +20,8 @@ __all__ = [
     "bits_to_qpsk_planar",
     "qpsk_planar_to_bits",
     "StreamBuffer",
+    "StreamBank",
+    "FileIngest",
 ]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgfdm_host.so")
@@ -68,6 +70,33 @@ def _load():
     lib.gfdm_stream_pull.argtypes = [
         ctypes.c_void_p, f32p, i64, ctypes.POINTER(i64)
     ]
+    lib.gfdm_stream_push_sc16.restype = i64
+    lib.gfdm_stream_push_sc16.argtypes = [
+        ctypes.c_void_p, i16p, i64, ctypes.c_float
+    ]
+    lib.gfdm_bank_create.restype = ctypes.c_void_p
+    lib.gfdm_bank_create.argtypes = [i64, i64, i64, i64]
+    lib.gfdm_bank_destroy.argtypes = [ctypes.c_void_p]
+    lib.gfdm_bank_push.restype = i64
+    lib.gfdm_bank_push.argtypes = [ctypes.c_void_p, i64, f32p, f32p, i64]
+    lib.gfdm_bank_push_sc16.restype = i64
+    lib.gfdm_bank_push_sc16.argtypes = [
+        ctypes.c_void_p, i64, i16p, i64, ctypes.c_float
+    ]
+    lib.gfdm_bank_available_chunks.restype = i64
+    lib.gfdm_bank_available_chunks.argtypes = [ctypes.c_void_p]
+    lib.gfdm_bank_pull.restype = i64
+    lib.gfdm_bank_pull.argtypes = [
+        ctypes.c_void_p, f32p, i64, ctypes.POINTER(i64)
+    ]
+    lib.gfdm_ingest_start_sc16.restype = ctypes.c_void_p
+    lib.gfdm_ingest_start_sc16.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_float, i64
+    ]
+    lib.gfdm_ingest_poll.restype = i64
+    lib.gfdm_ingest_poll.argtypes = [ctypes.c_void_p]
+    lib.gfdm_ingest_finish.restype = i64
+    lib.gfdm_ingest_finish.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -193,6 +222,18 @@ class StreamBuffer:
     def available_chunks(self) -> int:
         return int(self._lib.gfdm_stream_available_chunks(self._h))
 
+    def push_sc16(self, raw: np.ndarray, scale: float = SC16_SCALE) -> int:
+        """Push interleaved int16 IQ (converted natively in one fused pass)."""
+        raw = np.ascontiguousarray(raw, dtype=np.int16)
+        return int(
+            self._lib.gfdm_stream_push_sc16(
+                self._h,
+                raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                raw.size // 2,
+                float(scale),
+            )
+        )
+
     def pull(self, max_chunks: int):
         """-> ((n, 2, chunk_len+halo) float32, absolute sample offset)."""
         ext = self.chunk_len + self.halo
@@ -204,3 +245,103 @@ class StreamBuffer:
             )
         )
         return out[:n], int(base.value)
+
+
+class StreamBank:
+    """Bank of per-channel rings with time-aligned multi-channel pulls.
+
+    Each RF channel (antenna port) pushes independently from its own producer
+    thread; ``pull`` returns (n, n_channels, 2, chunk_len+halo) batches whose
+    chunks are sample-aligned across channels - the input layout for
+    multi-antenna / cyclic-delay-diversity reception.
+    """
+
+    def __init__(self, n_channels: int, capacity: int, chunk_len: int, halo: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native library unavailable; build it with `make -C native`"
+            )
+        self._lib = lib
+        self.n_channels = int(n_channels)
+        self.chunk_len = int(chunk_len)
+        self.halo = int(halo)
+        self._h = ctypes.c_void_p(
+            lib.gfdm_bank_create(
+                int(n_channels), int(capacity), int(chunk_len), int(halo)
+            )
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.gfdm_bank_destroy(h)
+            self._h = None
+
+    def push(self, channel: int, planar: np.ndarray) -> int:
+        planar = np.ascontiguousarray(planar, dtype=np.float32)
+        return int(
+            self._lib.gfdm_bank_push(
+                self._h, int(channel), _f32(planar[0]), _f32(planar[1]),
+                planar.shape[-1],
+            )
+        )
+
+    def push_sc16(self, channel: int, raw: np.ndarray,
+                  scale: float = SC16_SCALE) -> int:
+        raw = np.ascontiguousarray(raw, dtype=np.int16)
+        return int(
+            self._lib.gfdm_bank_push_sc16(
+                self._h, int(channel),
+                raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                raw.size // 2, float(scale),
+            )
+        )
+
+    @property
+    def available_chunks(self) -> int:
+        return int(self._lib.gfdm_bank_available_chunks(self._h))
+
+    def pull(self, max_chunks: int):
+        """-> ((n, n_channels, 2, chunk_len+halo) float32, sample offset)."""
+        ext = self.chunk_len + self.halo
+        out = np.empty((max_chunks, self.n_channels, 2, ext), dtype=np.float32)
+        base = ctypes.c_int64(0)
+        n = int(
+            self._lib.gfdm_bank_pull(
+                self._h, _f32(out.reshape(-1)), int(max_chunks), ctypes.byref(base)
+            )
+        )
+        return out[:n], int(base.value)
+
+
+class FileIngest:
+    """Background-thread sc16 file reader feeding a StreamBuffer.
+
+    The native reader thread converts and pushes without Python in the loop
+    (the io_uring/UHD-recv-thread role in a production deployment).
+    """
+
+    def __init__(self, path: str, stream: StreamBuffer,
+                 scale: float = SC16_SCALE, block_samples: int = 65536):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = ctypes.c_void_p(
+            lib.gfdm_ingest_start_sc16(
+                path.encode(), stream._h, float(scale), int(block_samples)
+            )
+        )
+
+    @property
+    def running(self) -> bool:
+        return int(self._lib.gfdm_ingest_poll(self._h)) < 0
+
+    def finish(self) -> int:
+        """Join the reader thread; returns total samples ingested."""
+        if self._h is None:
+            return 0
+        n = int(self._lib.gfdm_ingest_finish(self._h))
+        self._h = None
+        return n

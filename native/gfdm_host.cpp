@@ -21,29 +21,66 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <string>
+#include <thread>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define GFDM_X86 1
+#endif
 
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// format conversion
+// format conversion (scalar reference + AVX2 fast path, runtime-dispatched)
 // ---------------------------------------------------------------------------
 
-// Interleaved sc16 [I0,Q0,I1,Q1,...] -> planar float32 (re then im planes).
-void gfdm_sc16_to_planar(const int16_t* in, float* re, float* im,
-                         int64_t n_samples, float scale) {
-    const float k = 1.0f / scale;
-    for (int64_t i = 0; i < n_samples; ++i) {
+static void sc16_to_planar_scalar(const int16_t* in, float* re, float* im,
+                                  int64_t n, float k) {
+    for (int64_t i = 0; i < n; ++i) {
         re[i] = static_cast<float>(in[2 * i]) * k;
         im[i] = static_cast<float>(in[2 * i + 1]) * k;
     }
 }
 
-// Planar float32 -> interleaved sc16 with clamping.
-void gfdm_planar_to_sc16(const float* re, const float* im, int16_t* out,
+#ifdef GFDM_X86
+__attribute__((target("avx2")))
+static void sc16_to_planar_avx2(const int16_t* in, float* re, float* im,
+                                int64_t n, float k) {
+    const __m256 vk = _mm256_set1_ps(k);
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        // 8 IQ pairs = 16 int16; each 32-bit lane is (Q<<16)|I
+        __m256i v = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(in + 2 * i));
+        __m256i vi = _mm256_srai_epi32(_mm256_slli_epi32(v, 16), 16);
+        __m256i vq = _mm256_srai_epi32(v, 16);
+        _mm256_storeu_ps(re + i, _mm256_mul_ps(_mm256_cvtepi32_ps(vi), vk));
+        _mm256_storeu_ps(im + i, _mm256_mul_ps(_mm256_cvtepi32_ps(vq), vk));
+    }
+    sc16_to_planar_scalar(in + 2 * i, re + i, im + i, n - i, k);
+}
+#endif
+
+// Interleaved sc16 [I0,Q0,I1,Q1,...] -> planar float32 (re then im planes).
+void gfdm_sc16_to_planar(const int16_t* in, float* re, float* im,
                          int64_t n_samples, float scale) {
-    for (int64_t i = 0; i < n_samples; ++i) {
+    const float k = 1.0f / scale;
+#ifdef GFDM_X86
+    if (__builtin_cpu_supports("avx2")) {
+        sc16_to_planar_avx2(in, re, im, n_samples, k);
+        return;
+    }
+#endif
+    sc16_to_planar_scalar(in, re, im, n_samples, k);
+}
+
+static void planar_to_sc16_scalar(const float* re, const float* im,
+                                  int16_t* out, int64_t n, float scale) {
+    for (int64_t i = 0; i < n; ++i) {
         float vi = re[i] * scale;
         float vq = im[i] * scale;
         vi = std::min(32767.0f, std::max(-32768.0f, std::nearbyint(vi)));
@@ -51,6 +88,41 @@ void gfdm_planar_to_sc16(const float* re, const float* im, int16_t* out,
         out[2 * i] = static_cast<int16_t>(vi);
         out[2 * i + 1] = static_cast<int16_t>(vq);
     }
+}
+
+#ifdef GFDM_X86
+__attribute__((target("avx2")))
+static void planar_to_sc16_avx2(const float* re, const float* im,
+                                int16_t* out, int64_t n, float scale) {
+    const __m256 vs = _mm256_set1_ps(scale);
+    const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
+    const __m256i vmin = _mm256_set1_epi32(-32768);
+    const __m256i vmax = _mm256_set1_epi32(32767);
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        // cvtps_epi32 rounds to nearest-even (matches nearbyint default)
+        __m256i vi = _mm256_cvtps_epi32(_mm256_mul_ps(_mm256_loadu_ps(re + i), vs));
+        __m256i vq = _mm256_cvtps_epi32(_mm256_mul_ps(_mm256_loadu_ps(im + i), vs));
+        vi = _mm256_min_epi32(vmax, _mm256_max_epi32(vmin, vi));
+        vq = _mm256_min_epi32(vmax, _mm256_max_epi32(vmin, vq));
+        __m256i packed = _mm256_or_si256(_mm256_slli_epi32(vq, 16),
+                                         _mm256_and_si256(vi, lo16));
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(out + 2 * i), packed);
+    }
+    planar_to_sc16_scalar(re + i, im + i, out + 2 * i, n - i, scale);
+}
+#endif
+
+// Planar float32 -> interleaved sc16 with clamping.
+void gfdm_planar_to_sc16(const float* re, const float* im, int16_t* out,
+                         int64_t n_samples, float scale) {
+#ifdef GFDM_X86
+    if (__builtin_cpu_supports("avx2")) {
+        planar_to_sc16_avx2(re, im, out, n_samples, scale);
+        return;
+    }
+#endif
+    planar_to_sc16_scalar(re, im, out, n_samples, scale);
 }
 
 // Interleaved complex float32 [re,im,...] -> planar float32.
@@ -125,16 +197,20 @@ void* gfdm_stream_create(int64_t capacity, int64_t chunk_len, int64_t halo) {
 
 void gfdm_stream_destroy(void* h) { delete static_cast<GfdmStreamBuffer*>(h); }
 
-// Push n planar samples; drops the oldest unread chunks on overflow
-// (returns number of samples dropped so far in total).
-int64_t gfdm_stream_push(void* h, const float* re, const float* im, int64_t n) {
-    auto* b = static_cast<GfdmStreamBuffer*>(h);
-    int64_t head = b->head.load(std::memory_order_relaxed);
-    for (int64_t i = 0; i < n; ++i) {
-        const int64_t pos = (head + i) % b->capacity;
-        b->re[static_cast<size_t>(pos)] = re[i];
-        b->im[static_cast<size_t>(pos)] = im[i];
+// Copy n samples into the circular planes at absolute position `head`,
+// split at the wrap boundary so the copies are straight memcpys.
+static void ring_write(GfdmStreamBuffer* b, int64_t head, const float* re,
+                       const float* im, int64_t n) {
+    while (n > 0) {
+        const int64_t pos = head % b->capacity;
+        const int64_t run = std::min(n, b->capacity - pos);
+        std::memcpy(b->re.data() + pos, re, static_cast<size_t>(run) * 4);
+        std::memcpy(b->im.data() + pos, im, static_cast<size_t>(run) * 4);
+        head += run; re += run; im += run; n -= run;
     }
+}
+
+static int64_t stream_commit(GfdmStreamBuffer* b, int64_t head, int64_t n) {
     head += n;
     // overflow: advance tail in whole chunks
     int64_t tail = b->tail.load(std::memory_order_relaxed);
@@ -146,6 +222,33 @@ int64_t gfdm_stream_push(void* h, const float* re, const float* im, int64_t n) {
     }
     b->head.store(head, std::memory_order_release);
     return b->dropped.load(std::memory_order_relaxed);
+}
+
+// Push n planar samples; drops the oldest unread chunks on overflow
+// (returns number of samples dropped so far in total).
+int64_t gfdm_stream_push(void* h, const float* re, const float* im, int64_t n) {
+    auto* b = static_cast<GfdmStreamBuffer*>(h);
+    const int64_t head = b->head.load(std::memory_order_relaxed);
+    ring_write(b, head, re, im, n);
+    return stream_commit(b, head, n);
+}
+
+// Fused wire-format ingest: convert interleaved sc16 and push in one pass
+// (the radio thread never materializes an intermediate planar buffer).
+int64_t gfdm_stream_push_sc16(void* h, const int16_t* in, int64_t n,
+                              float scale) {
+    auto* b = static_cast<GfdmStreamBuffer*>(h);
+    const int64_t head = b->head.load(std::memory_order_relaxed);
+    int64_t done = 0;
+    int64_t pos_abs = head;
+    while (done < n) {
+        const int64_t pos = pos_abs % b->capacity;
+        const int64_t run = std::min(n - done, b->capacity - pos);
+        gfdm_sc16_to_planar(in + 2 * done, b->re.data() + pos,
+                            b->im.data() + pos, run, scale);
+        done += run; pos_abs += run;
+    }
+    return stream_commit(b, head, n);
 }
 
 // Number of complete extended chunks ready to pull.
@@ -173,14 +276,164 @@ int64_t gfdm_stream_pull(void* h, float* out, int64_t max_chunks,
     for (int64_t c = 0; c < n; ++c) {
         float* dst_re = out + c * 2 * ext;
         float* dst_im = dst_re + ext;
-        const int64_t start = tail + c * b->chunk_len;
-        for (int64_t i = 0; i < ext; ++i) {
-            const int64_t pos = (start + i) % b->capacity;
-            dst_re[i] = b->re[static_cast<size_t>(pos)];
-            dst_im[i] = b->im[static_cast<size_t>(pos)];
+        int64_t start = tail + c * b->chunk_len;
+        int64_t left = ext;
+        while (left > 0) {  // wrap-split memcpy instead of per-sample modulo
+            const int64_t pos = start % b->capacity;
+            const int64_t run = std::min(left, b->capacity - pos);
+            std::memcpy(dst_re, b->re.data() + pos, static_cast<size_t>(run) * 4);
+            std::memcpy(dst_im, b->im.data() + pos, static_cast<size_t>(run) * 4);
+            dst_re += run; dst_im += run; start += run; left -= run;
         }
     }
     b->tail.store(tail + n * b->chunk_len, std::memory_order_release);
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// stream bank: one ring per RF channel, time-aligned batch pulls
+// ---------------------------------------------------------------------------
+//
+// Multi-producer in the SDR sense: each radio channel (antenna port) owns an
+// SPSC ring and pushes independently; the consumer pulls TIME-ALIGNED chunk
+// batches across all channels (the layout the multi-antenna / cyclic-delay-
+// diversity receiver wants). If channels drop unevenly under overflow, the
+// pull realigns every channel to the latest common chunk boundary.
+
+struct GfdmStreamBank {
+    std::vector<GfdmStreamBuffer*> ch;
+};
+
+void* gfdm_bank_create(int64_t n_channels, int64_t capacity, int64_t chunk_len,
+                       int64_t halo) {
+    auto* bank = new GfdmStreamBank();
+    for (int64_t i = 0; i < n_channels; ++i)
+        bank->ch.push_back(static_cast<GfdmStreamBuffer*>(
+            gfdm_stream_create(capacity, chunk_len, halo)));
+    return bank;
+}
+
+void gfdm_bank_destroy(void* h) {
+    auto* bank = static_cast<GfdmStreamBank*>(h);
+    for (auto* b : bank->ch) delete b;
+    delete bank;
+}
+
+int64_t gfdm_bank_push(void* h, int64_t channel, const float* re,
+                       const float* im, int64_t n) {
+    auto* bank = static_cast<GfdmStreamBank*>(h);
+    return gfdm_stream_push(bank->ch[static_cast<size_t>(channel)], re, im, n);
+}
+
+int64_t gfdm_bank_push_sc16(void* h, int64_t channel, const int16_t* in,
+                            int64_t n, float scale) {
+    auto* bank = static_cast<GfdmStreamBank*>(h);
+    return gfdm_stream_push_sc16(bank->ch[static_cast<size_t>(channel)], in, n,
+                                 scale);
+}
+
+// Chunks pullable at the latest common alignment across all channels.
+int64_t gfdm_bank_available_chunks(void* h) {
+    auto* bank = static_cast<GfdmStreamBank*>(h);
+    if (bank->ch.empty()) return 0;
+    int64_t t_max = 0;
+    for (auto* b : bank->ch)
+        t_max = std::max(t_max, b->tail.load(std::memory_order_relaxed));
+    int64_t n = INT64_MAX;
+    for (auto* b : bank->ch) {
+        const int64_t head = b->head.load(std::memory_order_acquire);
+        const int64_t avail = head - t_max;
+        const int64_t c = (avail < b->chunk_len + b->halo)
+                              ? 0
+                              : (avail - b->halo) / b->chunk_len;
+        n = std::min(n, c);
+    }
+    return n;
+}
+
+// Pull up to max_chunks aligned chunks from every channel. Output layout:
+// (n, n_channels, 2, chunk_len + halo). Returns n; base_offset_out gets the
+// absolute sample index of the first pulled chunk.
+int64_t gfdm_bank_pull(void* h, float* out, int64_t max_chunks,
+                       int64_t* base_offset_out) {
+    auto* bank = static_cast<GfdmStreamBank*>(h);
+    if (bank->ch.empty()) return 0;
+    int64_t t_max = 0;
+    for (auto* b : bank->ch)
+        t_max = std::max(t_max, b->tail.load(std::memory_order_relaxed));
+    for (auto* b : bank->ch)  // realign laggards (counts as drops)
+        if (b->tail.load(std::memory_order_relaxed) < t_max) {
+            b->dropped.fetch_add(
+                t_max - b->tail.load(std::memory_order_relaxed),
+                std::memory_order_relaxed);
+            b->tail.store(t_max, std::memory_order_release);
+        }
+    const int64_t n = std::min(max_chunks, gfdm_bank_available_chunks(h));
+    if (n <= 0) return 0;
+    if (base_offset_out) *base_offset_out = t_max;
+    const int64_t n_ch = static_cast<int64_t>(bank->ch.size());
+    const int64_t ext = bank->ch[0]->chunk_len + bank->ch[0]->halo;
+    for (int64_t c = 0; c < n_ch; ++c) {
+        // per-channel pull into a strided view: chunk-major, channel inner
+        std::vector<float> tmp(static_cast<size_t>(n * 2 * ext));
+        int64_t base = 0;
+        gfdm_stream_pull(bank->ch[static_cast<size_t>(c)], tmp.data(), n, &base);
+        for (int64_t k = 0; k < n; ++k)
+            std::memcpy(out + ((k * n_ch + c) * 2) * ext,
+                        tmp.data() + k * 2 * ext,
+                        static_cast<size_t>(2 * ext) * 4);
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// threaded file ingest (async reader feeding a stream ring)
+// ---------------------------------------------------------------------------
+
+struct GfdmIngest {
+    std::thread th;
+    std::atomic<int64_t> samples{0};
+    std::atomic<bool> done{false};
+};
+
+// Start a background thread that reads interleaved sc16 from `path` and
+// pushes it into `stream` in `block_samples` batches (async IO ingest -
+// the role a UHD recv thread or io_uring reader plays in production).
+void* gfdm_ingest_start_sc16(const char* path, void* stream, float scale,
+                             int64_t block_samples) {
+    auto* ing = new GfdmIngest();
+    std::string p(path);
+    ing->th = std::thread([ing, p, stream, scale, block_samples]() {
+        FILE* f = std::fopen(p.c_str(), "rb");
+        if (f) {
+            std::vector<int16_t> buf(static_cast<size_t>(2 * block_samples));
+            size_t got;
+            while ((got = std::fread(buf.data(), sizeof(int16_t),
+                                     buf.size(), f)) > 0) {
+                const int64_t ns = static_cast<int64_t>(got) / 2;
+                gfdm_stream_push_sc16(stream, buf.data(), ns, scale);
+                ing->samples.fetch_add(ns, std::memory_order_relaxed);
+            }
+            std::fclose(f);
+        }
+        ing->done.store(true, std::memory_order_release);
+    });
+    return ing;
+}
+
+// -1 while running, else total samples ingested.
+int64_t gfdm_ingest_poll(void* h) {
+    auto* ing = static_cast<GfdmIngest*>(h);
+    if (!ing->done.load(std::memory_order_acquire)) return -1;
+    return ing->samples.load(std::memory_order_relaxed);
+}
+
+// Join the reader thread and free the handle; returns total samples.
+int64_t gfdm_ingest_finish(void* h) {
+    auto* ing = static_cast<GfdmIngest*>(h);
+    if (ing->th.joinable()) ing->th.join();
+    const int64_t n = ing->samples.load(std::memory_order_relaxed);
+    delete ing;
     return n;
 }
 

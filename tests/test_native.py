@@ -103,3 +103,58 @@ def test_stream_buffer_feeds_receiver():
     out = pp.receive_bursts_planar(cfg, bursts, ic_iterations=2)
     d_hat = pl.from_planar(np.asarray(out["data"]))[0]
     assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
+
+
+def test_stream_push_sc16_fused():
+    """Fused sc16 ingest == convert-then-push."""
+    rng = np.random.default_rng(7)
+    raw = rng.integers(-20000, 20000, 4096, dtype=np.int16)
+    sb1 = native.StreamBuffer(capacity=8192, chunk_len=512, halo=128)
+    sb1.push_sc16(raw)
+    sb2 = native.StreamBuffer(capacity=8192, chunk_len=512, halo=128)
+    sb2.push(native.sc16_to_planar(raw))
+    c1, b1 = sb1.pull(8)
+    c2, b2 = sb2.pull(8)
+    assert b1 == b2
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_stream_bank_aligned_multichannel():
+    """Per-channel pushes pull out as time-aligned multi-channel batches."""
+    n_ch, chunk, halo = 2, 256, 64
+    bank = native.StreamBank(n_ch, capacity=4096, chunk_len=chunk, halo=halo)
+    rng = np.random.default_rng(8)
+    sig = [rng.standard_normal((2, 1024)).astype(np.float32) for _ in range(n_ch)]
+    # channel 1 pushes in two unequal pieces; alignment must still hold
+    bank.push(0, sig[0])
+    bank.push(1, sig[1][:, :300])
+    bank.push(1, sig[1][:, 300:])
+    assert bank.available_chunks == (1024 - halo) // chunk
+    out, base = bank.pull(8)
+    assert base == 0 and out.shape == ((1024 - halo) // chunk, n_ch, 2, chunk + halo)
+    for c in range(n_ch):
+        for k in range(out.shape[0]):
+            np.testing.assert_array_equal(
+                out[k, c], sig[c][:, k * chunk : k * chunk + chunk + halo]
+            )
+
+
+def test_file_ingest_background_thread(tmp_path):
+    """Native reader thread ingests an sc16 recording into the ring."""
+    import time
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(-10000, 10000, 2 * 4096, dtype=np.int16)
+    path = tmp_path / "capture.sc16"
+    raw.tofile(path)
+    sb = native.StreamBuffer(capacity=16384, chunk_len=1024, halo=256)
+    ing = native.FileIngest(str(path), sb, block_samples=512)
+    for _ in range(200):
+        if not ing.running:
+            break
+        time.sleep(0.01)
+    assert ing.finish() == 4096
+    chunks, base = sb.pull(8)
+    assert base == 0 and chunks.shape[0] == 3
+    ref = native.sc16_to_planar(raw)
+    np.testing.assert_allclose(chunks[0], ref[:, : 1024 + 256], atol=1e-6)
