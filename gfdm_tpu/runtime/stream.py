@@ -18,6 +18,7 @@ from .receiver import receive_bursts, receive_stream
 __all__ = [
     "chunk_with_lookahead",
     "receive_long_stream",
+    "receive_chunks_planar",
     "receive_long_stream_planar",
 ]
 
@@ -81,10 +82,10 @@ def receive_long_stream(
     return out
 
 
-def receive_long_stream_planar(
+def receive_chunks_planar(
     cfg: GfdmConfig,
-    stream,
-    chunk_len: int = 2048,
+    chunks,
+    chunk_len: int,
     ic_iterations: int = 2,
     min_strength: float = 0.05,
     correct_cfo: bool = True,
@@ -93,18 +94,15 @@ def receive_long_stream_planar(
     method: str = "dense",
     equalizer: str = "zf",
 ):
-    """Planar (TPU-production) counterpart of :func:`receive_long_stream`.
+    """Receive every burst in a batch of extended chunks.
 
-    ``stream``: (..., 2, T) planar IQ recording. Returns the per-slot planar
-    receiver outputs plus detection metadata and a ``found`` mask, with slots
-    flattened over (chunks, bursts-per-chunk).
+    ``chunks``: (..., 2, chunk_len + halo) planar, halo-extended (as produced
+    by :func:`chunk_with_lookahead` or the native StreamBuffer). Detection is
+    restricted to owned positions (< chunk_len). This is the jittable core
+    shared by :func:`receive_long_stream_planar` and the streaming service.
     """
     from ..ops import planar_pipeline as pp
 
-    halo = cfg.frame_len + cfg.cp_len
-    chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
-    # (..., 2, n_chunks, C) -> (..., n_chunks, 2, C)
-    chunks = jnp.moveaxis(chunks, -2, -3)
     C = chunks.shape[-1]
     if max_bursts_per_chunk <= 1:
         det = pp.detect_bursts_planar(
@@ -133,3 +131,37 @@ def receive_long_stream_planar(
     out["detection"] = det
     out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)
     return out
+
+
+def receive_long_stream_planar(
+    cfg: GfdmConfig,
+    stream,
+    chunk_len: int = 2048,
+    ic_iterations: int = 2,
+    min_strength: float = 0.05,
+    correct_cfo: bool = True,
+    max_bursts_per_chunk: int = 1,
+    dtype_name: str = "float32",
+    method: str = "dense",
+    equalizer: str = "zf",
+):
+    """Planar (TPU-production) counterpart of :func:`receive_long_stream`.
+
+    ``stream``: (..., 2, T) planar IQ recording. Returns the per-slot planar
+    receiver outputs plus detection metadata and a ``found`` mask, with slots
+    flattened over (chunks, bursts-per-chunk).
+    """
+    halo = cfg.frame_len + cfg.cp_len
+    chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
+    # (..., 2, n_chunks, C) -> (..., n_chunks, 2, C)
+    chunks = jnp.moveaxis(chunks, -2, -3)
+    return receive_chunks_planar(
+        cfg, chunks, chunk_len,
+        ic_iterations=ic_iterations,
+        min_strength=min_strength,
+        correct_cfo=correct_cfo,
+        max_bursts_per_chunk=max_bursts_per_chunk,
+        dtype_name=dtype_name,
+        method=method,
+        equalizer=equalizer,
+    )

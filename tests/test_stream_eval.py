@@ -185,3 +185,55 @@ def test_receive_long_stream_dense_bursts_topk():
     for d in data:
         matches = [np.allclose(h, d, atol=1e-3) for h in hard]
         assert sum(matches) == 1
+
+
+def test_streaming_service_sharded_loop():
+    """Persistent sharded receive loop over an 8-device mesh, fed by the
+    native ring: all bursts recovered, stats accounted, no collectives."""
+    import jax
+
+    from gfdm_tpu import native
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.ops import tx as tx_ops
+    from gfdm_tpu.runtime.service import StreamingReceiver, host_chunk_range
+
+    chunk_len = 2048
+    halo = CFG.frame_len + CFG.cp_len
+    n_chunks = 8
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=200 + i) for i in range(3)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(n_chunks * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(11)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    offsets = [100, 3 * chunk_len - 200, 6 * chunk_len + 700]  # one straddles
+    for b, off in zip(bursts, offsets):
+        stream[off : off + CFG.frame_len] += b
+
+    sb = native.StreamBuffer(capacity=16 * chunk_len, chunk_len=chunk_len, halo=halo)
+    sb.push(pl.to_planar(stream))
+
+    rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=4)
+    assert rx.mesh.shape["dp"] == len(jax.devices())
+    got = []
+    stats = rx.serve(sb, sink=got.append)
+    # the tail chunk's halo is never completed by the ring -> 7 chunks seen
+    assert stats.batches == 2 and stats.chunks == 8 - 1
+    assert stats.bursts_found == 3
+    payloads = []
+    for out in got:
+        found = out["found"]
+        d = pl.from_planar(out["data"][found])
+        for row, start in zip(d, out["start_abs"][found]):
+            payloads.append((int(start), row))
+    payloads.sort()
+    starts = [s for s, _ in payloads]
+    assert starts == [o + CFG.cp_len for o in offsets]
+    d_hat = np.stack([row for _, row in payloads])
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
+    # contiguous host assignment covers all chunks exactly once
+    ranges = [host_chunk_range(10, 3, h) for h in range(3)]
+    assert sorted(i for r in ranges for i in r) == list(range(10))
