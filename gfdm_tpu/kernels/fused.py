@@ -63,6 +63,7 @@ __all__ = [
     "rx_receiver_hybrid",
     "rx_full_fused",
     "tx_frame_fused",
+    "tx_cdd_fused",
     "receive_bursts_fused",
     "link_step_fused",
 ]
@@ -1089,6 +1090,89 @@ def _tx_call(cfg: GfdmConfig, batch: int, block: int, shift: int, interpret: boo
         out_specs=pl.BlockSpec((block, f2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+
+
+def _tx_cdd_kernel(cfg: GfdmConfig,
+                   data_ref, tw_ref, win_ref, pre_ref, out_ref):
+    """All cyclic-delay-diversity ports from ONE core matmul.
+
+    The reference modulates once and emits per-port cyclically shifted framed
+    copies (transmitter_cc_impl.cc:165-177); here each port is a different
+    static slicing of the same VMEM-resident core frame.
+    """
+    n = cfg.block_len
+    w_len = cfg.window_len
+    p_len = cfg.preamble_len
+    cp, cs = cfg.cp_len, cfg.cs_len
+    f_len = cfg.frame_len
+    d = data_ref[:]
+    core = jnp.dot(d, tw_ref[:], preferred_element_type=jnp.float32)
+    bb = d.shape[0]
+    pre = pre_ref[:]  # (n_shifts * 2, p_len)
+    win = win_ref[:]
+    for si, shift in enumerate(cfg.cyclic_shifts):
+        for plane in range(2):
+            c = core[:, plane * n : (plane + 1) * n]
+            framed = jnp.concatenate(
+                [c[:, n - cp - shift :], c, c[:, : cs - shift]], axis=-1
+            ) * win
+            base = (si * 2 + plane) * f_len
+            out_ref[:, base : base + p_len] = jnp.broadcast_to(
+                pre[si * 2 + plane], (bb, p_len)
+            )
+            out_ref[:, base + p_len : base + p_len + w_len] = framed
+
+
+@lru_cache(maxsize=16)
+def _tx_cdd_call(cfg: GfdmConfig, batch: int, block: int, interpret: bool):
+    n = cfg.block_len
+    n_d2 = 2 * cfg.n_data_symbols
+    w_len = cfg.window_len
+    p_len = cfg.preamble_len
+    n_s = len(cfg.cyclic_shifts)
+    out_w = n_s * 2 * cfg.frame_len
+    kernel = functools.partial(_tx_cdd_kernel, cfg)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, out_w), jnp.float32),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, n_d2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_d2, 2 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_s * 2, p_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, out_w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+
+def tx_cdd_fused(cfg: GfdmConfig, data, block: int = 128,
+                 interpret: bool | None = None):
+    """Fused multi-port Tx: every cyclic-delay-diversity shift in one kernel.
+
+    data: (B, 2, n_data) planar payload -> (B, n_shifts, 2, frame_len).
+    Equivalent to transmit_planar(cfg, data); the core frame is modulated
+    once and re-sliced per port entirely in VMEM.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    mats = _device_mats(cfg, "float32")
+    c = _small_consts(cfg, "float32")
+    B = data.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of block {block}")
+    call = _tx_cdd_call(cfg, B, block, bool(interpret))
+    pre = c["preambles"].reshape(-1, cfg.preamble_len)  # (n_shifts*2, p_len)
+    out = call(
+        data.reshape(B, -1),
+        jnp.asarray(mats["T_W"]),
+        jnp.asarray(c["win"][None, :]),
+        jnp.asarray(pre),
+    )
+    return out.reshape(B, len(cfg.cyclic_shifts), 2, cfg.frame_len)
 
 
 def tx_frame_fused(cfg: GfdmConfig, data, block: int = 128,

@@ -7,10 +7,13 @@ the preamble SNR estimate.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["qpsk_llrs", "qpsk_llrs_planar"]
+__all__ = ["qpsk_llrs", "qpsk_llrs_planar", "maxlog_llrs"]
 
 _SQRT2 = 2.0**0.5
 
@@ -34,3 +37,36 @@ def qpsk_llrs_planar(symbols_pl, noise_var):
     return jnp.stack(
         [symbols_pl[..., 0, :] * s, symbols_pl[..., 1, :] * s], axis=-1
     )
+
+
+@lru_cache(maxsize=16)
+def _maxlog_fn(points_key: tuple):
+    points = np.asarray(points_key, dtype=np.complex64)
+    order = int(np.log2(points.size))
+    shifts = np.arange(order - 1, -1, -1)
+    # bit_masks[b, i] = 1.0 where constellation index i has bit b set
+    bit_masks = (((np.arange(points.size)[None, :] >> shifts[:, None]) & 1)
+                 .astype(np.float32))
+    big = np.float32(1e30)
+
+    @jax.jit
+    def fn(symbols, noise_var):
+        d = jnp.abs(symbols[..., None] - jnp.asarray(points)) ** 2  # (..., P)
+        masks = jnp.asarray(bit_masks)  # (order, P)
+        d1 = jnp.min(d[..., None, :] + (1.0 - masks) * big, axis=-1)
+        d0 = jnp.min(d[..., None, :] + masks * big, axis=-1)
+        return (d1 - d0) / jnp.maximum(noise_var, 1e-12)[..., None]
+
+    return fn
+
+
+def maxlog_llrs(symbols, points, noise_var):
+    """Generic max-log LLRs for any labeled constellation.
+
+    ``points``: (2**order,) complex, index = MSB-first bit label (the
+    ref.symbolmapping convention). (..., n) symbols -> (..., n, order) LLRs;
+    positive favors bit 0. For Gray QPSK this reduces exactly to
+    :func:`qpsk_llrs`.
+    """
+    key = tuple(np.asarray(points).astype(np.complex64).tolist())
+    return _maxlog_fn(key)(jnp.asarray(symbols), jnp.asarray(noise_var))

@@ -169,3 +169,16 @@ def test_rx_receiver_factored_and_hybrid_match_xla():
         np.testing.assert_allclose(
             np.asarray(sym), np.asarray(ref["symbols"]), atol=1e-4
         )
+
+
+def test_tx_cdd_fused_all_ports():
+    from gfdm_tpu.kernels.fused import tx_cdd_fused
+
+    cfg = GfdmConfig(cyclic_shifts=(0, 3, 7))
+    d = np.stack(
+        [utils.random_qpsk(cfg.n_data_symbols, seed=110 + i) for i in range(4)]
+    ).astype(np.complex64)
+    data = jnp.asarray(pl_ops.to_planar(d))
+    ref = np.asarray(transmit_planar(cfg, data))  # (B, 3, 2, frame_len)
+    got = np.asarray(tx_cdd_fused(cfg, data, block=4))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -244,3 +244,30 @@ def test_qpsk_llrs_sign_and_scale():
     # doubling noise halves LLR magnitude
     llr2 = np.asarray(qpsk_llrs(jnp.asarray(syms), jnp.asarray(nv * 2)))
     np.testing.assert_allclose(llr2, llr / 2, atol=1e-6)
+
+
+def test_maxlog_llrs_generic():
+    from gfdm_tpu.ops.softbits import maxlog_llrs, qpsk_llrs
+    from gfdm_tpu.ref import symbolmapping as sm
+
+    rng = np.random.default_rng(0)
+    # QPSK: max-log must reduce exactly to the closed-form LLRs
+    pts = sm.constellation(2)
+    y = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+        np.complex64
+    ) * 0.7
+    nv = np.float32(0.3)
+    got = np.asarray(maxlog_llrs(y, pts, nv))
+    ref = np.asarray(qpsk_llrs(jnp.asarray(y), jnp.asarray(nv)))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    # 16-QAM: at high SNR, LLR signs recover the transmitted bits
+    pts16 = sm.constellation(4)
+    bits = rng.integers(0, 2, 128 * 4).astype(np.uint8)
+    syms = sm.bits_to_symbols(bits, pts16).astype(np.complex64)
+    noisy = syms + 0.02 * (
+        rng.standard_normal(syms.shape) + 1j * rng.standard_normal(syms.shape)
+    ).astype(np.complex64)
+    llr = np.asarray(maxlog_llrs(noisy, pts16, np.float32(0.01)))
+    hard_bits = (llr < 0).astype(np.uint8).reshape(-1)
+    np.testing.assert_array_equal(hard_bits, bits)
