@@ -182,3 +182,36 @@ def test_tx_cdd_fused_all_ports():
     ref = np.asarray(transmit_planar(cfg, data))  # (B, 3, 2, frame_len)
     got = np.asarray(tx_cdd_fused(cfg, data, block=4))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fused_kernels_cross_config():
+    """Fused Tx/Rx kernels generalize beyond the canonical config."""
+    from gfdm_tpu.kernels.fused import receive_bursts_fused, tx_frame_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    for cfg in (
+        GfdmConfig(subcarriers=32, active_subcarriers=24, timeslots=5,
+                   cp_len=8, cs_len=4),
+        GfdmConfig(subcarriers=128, active_subcarriers=100, timeslots=9,
+                   cp_len=32, cs_len=16),
+    ):
+        d = np.stack(
+            [utils.random_qpsk(cfg.n_data_symbols, seed=120 + i) for i in range(4)]
+        ).astype(np.complex64)
+        data = jnp.asarray(pl_ops.to_planar(d))
+        ref_tx = np.asarray(transmit_planar(cfg, data))[:, 0]
+        got_tx = np.asarray(tx_frame_fused(cfg, data, block=4))
+        np.testing.assert_allclose(got_tx, ref_tx, atol=3e-5)
+
+        rng = np.random.default_rng(5)
+        bursts = jnp.asarray(
+            ref_tx + 0.01 * rng.standard_normal(ref_tx.shape).astype(np.float32)
+        )
+        ref = receive_bursts_planar(cfg, bursts, ic_iterations=2)
+        got = receive_bursts_fused(cfg, bursts, ic_iterations=2, block=4)
+        np.testing.assert_allclose(
+            np.asarray(got["symbols"]), np.asarray(ref["symbols"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["snr_lin"]), np.asarray(ref["snr_lin"]), rtol=1e-3
+        )

@@ -237,3 +237,45 @@ def test_streaming_service_sharded_loop():
     # contiguous host assignment covers all chunks exactly once
     ranges = [host_chunk_range(10, 3, h) for h in range(3)]
     assert sorted(i for r in ranges for i in r) == list(range(10))
+
+
+def test_streaming_service_fused_engine_matches_xla():
+    """engine='fused' (per-shard Pallas receiver under shard_map) agrees
+    with the XLA engine slot-for-slot."""
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    chunk_len = 2048
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=220 + i) for i in range(2)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(8 * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(13)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    for b, off in zip(bursts, [400, 5 * chunk_len + 90]):
+        stream[off : off + CFG.frame_len] += b
+
+    from gfdm_tpu.runtime.stream import chunk_with_lookahead
+
+    halo = CFG.frame_len + CFG.cp_len
+    chunks = np.moveaxis(
+        np.asarray(chunk_with_lookahead(jnp.asarray(pl.to_planar(stream)),
+                                        chunk_len, halo)), -2, -3)
+
+    outs = {}
+    for engine in ("xla", "fused"):
+        rx = StreamingReceiver(CFG, chunk_len=chunk_len, engine=engine)
+        outs[engine] = rx.step(chunks)
+    np.testing.assert_array_equal(outs["xla"]["found"], outs["fused"]["found"])
+    np.testing.assert_allclose(
+        outs["xla"]["data"], outs["fused"]["data"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        outs["xla"]["snr_lin"], outs["fused"]["snr_lin"], rtol=1e-3
+    )
+    found = outs["fused"]["found"]
+    d_hat = pl.from_planar(outs["fused"]["data"][found])
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
