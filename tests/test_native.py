@@ -158,3 +158,53 @@ def test_file_ingest_background_thread(tmp_path):
     assert base == 0 and chunks.shape[0] == 3
     ref = native.sc16_to_planar(raw)
     np.testing.assert_allclose(chunks[0], ref[:, : 1024 + 256], atol=1e-6)
+
+
+def test_stream_buffer_concurrent_producer_consumer():
+    """SPSC ring under real threading: native ingest thread pushes while the
+    consumer pulls concurrently; every chunk comes out exactly once, in
+    order, with the right content."""
+    import tempfile
+    import threading
+    import time
+
+    chunk, halo = 512, 128
+    n_total = 64 * chunk  # 64 chunks
+    ramp = (np.arange(n_total) % 8191).astype(np.float32)
+    planar = np.stack([ramp, -ramp])
+    raw = native.planar_to_sc16(planar / 8191.0, scale=8191.0)
+    with tempfile.NamedTemporaryFile(suffix=".sc16", delete=False) as f:
+        path = f.name
+    raw.tofile(path)
+
+    # capacity covers the whole file: the ordering check below is lossless
+    # (drop-oldest overflow behavior is covered by its own test above)
+    sb = native.StreamBuffer(capacity=n_total + 2 * chunk, chunk_len=chunk,
+                             halo=halo)
+    ing = native.FileIngest(path, sb, scale=8191.0, block_samples=chunk // 2)
+
+    got = []
+    deadline = time.time() + 30.0
+    while time.time() < deadline:
+        chunks, base = sb.pull(4)
+        if chunks.shape[0]:
+            got.append((base, chunks))
+        elif not ing.running:
+            if sb.available_chunks == 0:
+                break
+        else:
+            time.sleep(0.0005)
+    assert ing.finish() == n_total
+
+    # reassemble: chunks must be in order and contiguous
+    seen = 0
+    for base, chunks in got:
+        assert base == seen * chunk
+        for c in chunks:
+            start = seen * chunk
+            ref = np.stack([ramp, -ramp])[:, start : start + chunk + halo]
+            if ref.shape[-1] < chunk + halo:  # tail halo may be zero/absent
+                c = c[:, : ref.shape[-1]]
+            np.testing.assert_allclose(c, ref / 8191.0, atol=2e-4)
+            seen += 1
+    assert seen == 64 - 1  # last chunk's halo completes only at EOF padding
