@@ -280,9 +280,9 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
 # fused ZF + IC receiver, circulant IC (fast native path)
 # ---------------------------------------------------------------------------
 def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
-                       c_taps_r: tuple, c_taps_i: tuple,
-                       frame_ref, e_ref, fw_ref, bfd_ref,
-                       act_ref, mlt_ref, chan_ref, out_ref):
+                       c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
+                       frame_ref, e_ref, fw_ref, bfd_ref, f2_ref, sel_ref,
+                       act_ref, mlt_ref, chan_ref, out_ref, met_ref):
     """ZF + IC with the interference operator applied as a per-block
     circular convolution.
 
@@ -306,6 +306,25 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     )
     chan = jnp.dot(pre2, e_ref[:], preferred_element_type=jnp.float32)
     chan_ref[:] = chan  # expose the channel estimate as a second output
+
+    # SNR/CNR metrics fused in: 2K-point preamble DFT, even/odd-bin energy
+    # split (preamble_channel_estimator_cc.cc:187-235) with the bin selection
+    # and sums as one small matmul. met = [snr_lin | scaled cnrs | 0-pad].
+    half = pre_len // 2
+    F = jnp.dot(pre2, f2_ref[:], preferred_element_type=jnp.float32)
+    p = F[:, :half] ** 2 + F[:, half:] ** 2
+    sums = jnp.dot(p, sel_ref[:], preferred_element_type=jnp.float32)
+    sig = sums[:, 0:1]
+    noise = sums[:, 1:2]
+    snr_lin = (sig - noise) / noise
+    cnr = sums[:, 2 : 2 + n_cnr] * (snr_lin / (sig / n_cnr))
+    met_ref[:, 0:1] = snr_lin
+    met_ref[:, 1 : 1 + n_cnr] = cnr
+    if met_ref.shape[-1] > 1 + n_cnr:
+        met_ref[:, 1 + n_cnr :] = jnp.zeros(
+            (burst.shape[0], met_ref.shape[-1] - 1 - n_cnr), jnp.float32
+        )
+
     frame = jnp.concatenate(
         [burst[:, fs : fs + n], burst[:, L + fs : L + fs + n]], axis=-1
     )
@@ -373,16 +392,20 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
         @ _ops.dft_matrix(M)
     )  # circulant: Cmat[m, m'] = c[(m - m') mod M], c = ifft(ic_taps)
     c_col = Cmat[:, 0]  # c[j] multiplies v rotated by j
+    n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
         _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
+        n_cnr,
     )
+    half = e_rows // 2  # 2K power bins
     return pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((batch, n2), jnp.float32),  # chan (2nd out!)
             jax.ShapeDtypeStruct((batch, n2), jnp.float32),  # symbols
+            jax.ShapeDtypeStruct((batch, met_w), jnp.float32),  # [snr | cnrs]
         ),
         grid=(batch // block,),
         in_specs=[
@@ -390,15 +413,39 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
             pl.BlockSpec((e_rows, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_rows, e_rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, met_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M - 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, met_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )
+
+
+@lru_cache(maxsize=16)
+def _met_layout(cfg: GfdmConfig):
+    """(n_cnr, met_w): CNR count and lane-padded metrics-row width."""
+    n_cnr = 2 * (cfg.active_subcarriers // 2)
+    met_w = ((2 + n_cnr + 127) // 128) * 128  # fits the sel columns too
+    return n_cnr, met_w
+
+
+@lru_cache(maxsize=16)
+def _met_selection(cfg: GfdmConfig) -> np.ndarray:
+    """(2K, met_w) 0/1 matrix: p @ sel = [sig_sum, noise_sum, cnr_0.., 0..]."""
+    c = _small_consts(cfg, "float32")
+    n_cnr, met_w = _met_layout(cfg)
+    sel = np.zeros((2 * cfg.subcarriers, met_w), dtype=np.float32)
+    sel[c["sig_idx"], 0] = 1.0
+    sel[c["noise_idx"], 1] = 1.0
+    for j, b in enumerate(c["sig_idx"]):
+        sel[b, 2 + j] = 1.0
+    return sel
 
 
 @lru_cache(maxsize=16)
@@ -414,13 +461,14 @@ def _circ_masks(cfg: GfdmConfig):
 def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                       block: int = 128, interpret: bool | None = None,
                       qpsk_amp: float = 2.0**-0.5):
-    """Whole receiver core (channel est + ZF + demod + circulant IC) in one
-    VMEM pass.
+    """Whole receiver core (channel est + SNR/CNR + ZF + demod + circulant
+    IC) in one VMEM pass.
 
     bursts: (B, 2, frame_len) planar -> (channel (B, 2, N), symbols
-    (B, 2, N)) planar. The IC iterations cost only VPU work (9-tap circular
-    convolution per block via mask-blended rolls) - no extra MXU matmuls and
-    no HBM round trips.
+    (B, 2, N), metrics (B, met_w) = [snr_lin | scaled cnrs | 0-pad]) planar.
+    The IC iterations cost only VPU work (9-tap circular convolution per
+    block via mask-blended rolls) - no extra MXU matmuls and no HBM round
+    trips.
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -435,15 +483,17 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
         raise ValueError(f"batch {B} must be a multiple of block {block}")
     call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
                             bool(interpret))
-    chan, out = call(
+    chan, out, met = call(
         bursts.reshape(B, -1),
         jnp.asarray(mats["E_W"]),
         jnp.asarray(mats["F_W"]),
         jnp.asarray(mats["Bfd_W"]),
+        jnp.asarray(mats["F2_W"]),
+        jnp.asarray(_met_selection(cfg)),
         jnp.asarray(active),
         jnp.asarray(_circ_masks(cfg)),
     )
-    return chan.reshape(B, 2, n), out.reshape(B, 2, n)
+    return chan.reshape(B, 2, n), out.reshape(B, 2, n), met
 
 
 # ---------------------------------------------------------------------------
@@ -989,39 +1039,24 @@ def receive_bursts_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
 
     bursts: (B, 2, frame_len) planar, aligned at the full-preamble start.
     Returns the same dict as planar_pipeline.receive_bursts_planar (ZF
-    equalizer, QPSK decisions). The heavy chain (channel estimation, block
-    FFT, ZF divide, FD demod, circulant IC) runs in one Pallas VMEM pass;
-    only the cheap SNR estimate and the demap gather stay in XLA.
+    equalizer, QPSK decisions). The whole chain including the SNR/CNR
+    estimate runs in one Pallas VMEM pass; only the demap gather stays in
+    XLA.
     """
     from ..ops.tx import demap_indices
 
-    mats = _device_mats(cfg, "float32")
-    c = _small_consts(cfg, "float32")
-    chan, symbols = rx_receiver_fused(
+    chan, symbols, met = rx_receiver_fused(
         cfg, bursts, ic_iterations=ic_iterations, block=block,
         interpret=interpret,
     )
-    K = cfg.subcarriers
-    rx_pre = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K]
-    n2 = rx_pre.shape[-1] * 2
-    F = jnp.matmul(
-        rx_pre.reshape(rx_pre.shape[:-2] + (n2,)), jnp.asarray(mats["F2_W"]),
-        preferred_element_type=jnp.float32,
-    )
-    half = F.shape[-1] // 2
-    p = F[..., :half] ** 2 + F[..., half:] ** 2
-    cnrs = jnp.take(p, jnp.asarray(c["sig_idx"]), axis=-1)
-    sym = jnp.sum(cnrs, axis=-1)
-    noise = jnp.sum(jnp.take(p, jnp.asarray(c["noise_idx"]), axis=-1), axis=-1)
-    snr_lin = (sym - noise) / noise
-    cnrs = cnrs * (snr_lin / (sym / cnrs.shape[-1]))[..., None]
+    n_cnr, _ = _met_layout(cfg)
     data = jnp.take(symbols, jnp.asarray(demap_indices(cfg)), axis=-1)
     return {
         "data": data,
         "symbols": symbols,
         "channel": chan,
-        "snr_lin": snr_lin,
-        "cnrs": cnrs,
+        "snr_lin": met[:, 0],
+        "cnrs": met[:, 1 : 1 + n_cnr],
     }
 
 

@@ -94,7 +94,7 @@ def test_rx_receiver_fused_circulant_matches_xla():
     data = _planar_payload(8, seed=70)
     bursts = transmit_planar(CFG, data)[:, 0]
     ref = receive_bursts_planar(CFG, bursts, ic_iterations=2)
-    chan, got = rx_receiver_fused(CFG, bursts, ic_iterations=2, block=4)
+    chan, got, _met = rx_receiver_fused(CFG, bursts, ic_iterations=2, block=4)
     np.testing.assert_allclose(
         np.asarray(chan), np.asarray(ref["channel"]).reshape(chan.shape), atol=2e-4
     )
