@@ -24,8 +24,9 @@ artifacts of exactly that):
     9.4 ms vs the XLA receiver's 12.5 ms -> 1.32x.
   - rx_core_fused (ZF core, block=64): 5.9 ms.
   - XLA transmit: 3.4 ms (a single large matmul; fusion adds little).
-  - link_step_fused (Tx kernel + Rx kernel): 11.05 ms = 2.97 Mbursts/s =
-    2.23 Gsamples/s, EVM identical to the XLA path.
+  - link_step_fused (Tx kernel + Rx kernel, SNR/CNR fused into the Rx
+    kernel): 10.5-12.3 ms run-to-run on the shared chip, best 2.35
+    Gsamples/s (3.1 Mbursts/s), EVM identical to the XLA path.
 The fused receiver is therefore the production receive path on TPU
 (receive_bursts_fused / link_step_fused); the XLA planar pipeline remains
 the reference implementation and covers the general parameter surface
