@@ -13,8 +13,10 @@ from . import (  # noqa: F401
     mapping,
     modulation,
     preamble,
+    legacy,
     symbolmapping,
     synchronization,
     utils,
+    validation,
     zadoff_chu,
 )

@@ -53,8 +53,14 @@ class PreambleChannelEstimator:
         x_preamble = np.asarray(x_preamble, dtype=np.complex128)
         if x_preamble.size != 2 * fft_len:
             raise ValueError("x_preamble must have length 2*fft_len")
-        self.inv_freq_preamble0 = 0.5 / np.fft.fft(x_preamble[:fft_len])
-        self.inv_freq_preamble1 = 0.5 / np.fft.fft(x_preamble[fft_len:])
+        # inactive preamble bins are exactly zero; their inverses are never
+        # read by the active-band smoother, so zero them instead of carrying
+        # the reference's inf/NaN bins (preamble_channel_estimator_cc.cc:111-119)
+        f0 = np.fft.fft(x_preamble[:fft_len])
+        f1 = np.fft.fft(x_preamble[fft_len:])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.inv_freq_preamble0 = np.where(f0 == 0, 0, 0.5 / f0)
+            self.inv_freq_preamble1 = np.where(f1 == 0, 0, 0.5 / f1)
         self.taps = gaussian_taps(self.N_GAUSSIAN, 1.0)
 
     # -- step 1 -------------------------------------------------------------
