@@ -670,11 +670,40 @@ def _rx_factored_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
                         xt_ref, pre_ref, e_ref, fk_ref, mcr_ref, mci_ref,
                         ftr_ref, fti_ref, ivr_ref, ivi_ref,
                         act_ref, mlt_ref, chan_ref, out_ref):
-    K, M, L = cfg.subcarriers, cfg.timeslots, cfg.overlap
-    n = cfg.block_len
-
     chan = jnp.dot(pre_ref[:], e_ref[:], preferred_element_type=jnp.float32)
     chan_ref[:] = chan
+    _factored_demod_body(cfg, ic_iterations, qpsk_amp, c_taps_r, c_taps_i,
+                         chan, xt_ref, fk_ref, mcr_ref, mci_ref,
+                         ftr_ref, fti_ref, ivr_ref, ivi_ref,
+                         act_ref, mlt_ref, out_ref)
+
+
+def _rx_factored_chan_kernel(cfg: GfdmConfig, ic_iterations: int,
+                             qpsk_amp: float,
+                             c_taps_r: tuple, c_taps_i: tuple,
+                             xt_ref, chan_in_ref, fk_ref, mcr_ref, mci_ref,
+                             ftr_ref, fti_ref, ivr_ref, ivi_ref,
+                             act_ref, mlt_ref, out_ref):
+    """Factored receiver with a precomputed planar channel input.
+
+    Removes the dense (4K, 2N) estimation operator from VMEM entirely —
+    the piece whose footprint forbids K >= 256 in the fused variant; the
+    channel comes from the O(K^2) factorized XLA estimator
+    (ops/planar_fast.estimate_channel_fast) instead.
+    """
+    _factored_demod_body(cfg, ic_iterations, qpsk_amp, c_taps_r, c_taps_i,
+                         chan_in_ref[:], xt_ref, fk_ref, mcr_ref, mci_ref,
+                         ftr_ref, fti_ref, ivr_ref, ivi_ref,
+                         act_ref, mlt_ref, out_ref)
+
+
+def _factored_demod_body(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                         c_taps_r: tuple, c_taps_i: tuple,
+                         chan, xt_ref, fk_ref, mcr_ref, mci_ref,
+                         ftr_ref, fti_ref, ivr_ref, ivi_ref,
+                         act_ref, mlt_ref, out_ref):
+    K, M, L = cfg.subcarriers, cfg.timeslots, cfg.overlap
+    n = cfg.block_len
 
     xt = xt_ref[:]  # (Bb, 2N) in (n1, n2) layout, [re | im]
     fk = fk_ref[:]
@@ -812,6 +841,49 @@ def _rx_factored_call(cfg: GfdmConfig, batch: int, block: int,
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=16)
+def _rx_factored_chan_call(cfg: GfdmConfig, batch: int, block: int,
+                           ic_iterations: int, qpsk_amp: float,
+                           interpret: bool):
+    from ..ops import operators as _ops
+    from ..ref.demodulation import ic_filter_taps as _ic
+
+    n = cfg.block_len
+    n2 = 2 * n
+    M = cfg.timeslots
+    K = cfg.subcarriers
+    Cmat = (
+        _ops.idft_matrix(M)
+        @ np.diag(_ic(cfg.rx_filter_taps, M, cfg.overlap))
+        @ _ops.dft_matrix(M)
+    )
+    c_col = Cmat[:, 0]
+    kernel = functools.partial(
+        _rx_factored_chan_kernel, cfg, ic_iterations, qpsk_amp,
+        tuple(float(x) for x in c_col.real),
+        tuple(float(x) for x in c_col.imag),
+    )
+    const2d = lambda r: pl.BlockSpec((r, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, n2), jnp.float32),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K, 2 * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const2d(M), const2d(M),              # mcr, mci
+            const2d(cfg.overlap), const2d(cfg.overlap),  # ftr, fti
+            const2d(M), const2d(M),              # ivr, ivi
+            const2d(1),                          # act
+            const2d(M - 1),                      # mlt
+        ],
+        out_specs=pl.BlockSpec((block, n2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )
 
@@ -989,17 +1061,24 @@ def rx_receiver_hybrid(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
 
 def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                          block: int = 128, interpret: bool | None = None,
-                         qpsk_amp: float = 2.0**-0.5):
+                         qpsk_amp: float = 2.0**-0.5,
+                         estimator: str = "fused"):
     """Factorized one-kernel receiver (channel est + ZF + demod + IC).
 
     Same contract as rx_receiver_fused, but the block FFT and FD demod run
     as a Cooley-Tukey decomposition inside VMEM (K-stage matmuls + roll-based
     M-stage/fold/M-IFFT) - ~6.7x less MXU work than the dense-operator
     kernel. The input reorder to the (n1, n2) layout is one cheap XLA gather.
+
+    estimator:
+      "fused" — channel estimated inside the kernel via the dense (4K, 2N)
+                operator (one extra VMEM-resident matrix; K <= ~128).
+      "fast"  — channel estimated outside by the O(K^2) factorized XLA
+                estimator (ops/planar_fast) and streamed in per block; no
+                dense operator of any kind, so K >= 256 configs fit VMEM.
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _device_mats(cfg, "float32")
     fc = _factored_consts(cfg)
     n = cfg.block_len
     K = cfg.subcarriers
@@ -1014,6 +1093,30 @@ def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     fs = cfg.preamble_len + cfg.cp_len
     frame = bursts[..., fs : fs + n]
     xt = jnp.take(frame, jnp.asarray(fc["reorder"]), axis=-1).reshape(B, 2 * n)
+
+    if estimator == "fast":
+        from ..ops import planar_fast as _pf
+
+        pre = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K]  # (B, 2, 2K)
+        chan = _pf.estimate_channel_fast(
+            cfg, pre, _pf._est_consts(cfg, "float32")
+        ).reshape(B, 2 * n)
+        call = _rx_factored_chan_call(cfg, B, block, int(ic_iterations),
+                                      float(qpsk_amp), bool(interpret))
+        out = call(
+            xt, chan,
+            jnp.asarray(fc["FK_W"]),
+            jnp.asarray(fc["mcr"]), jnp.asarray(fc["mci"]),
+            jnp.asarray(fc["ftr"]), jnp.asarray(fc["fti"]),
+            jnp.asarray(fc["ivr"]), jnp.asarray(fc["ivi"]),
+            jnp.asarray(active),
+            jnp.asarray(_circ_masks(cfg)),
+        )
+        return chan.reshape(B, 2, n), out.reshape(B, 2, n)
+    if estimator != "fused":
+        raise ValueError(f"estimator must be 'fused' or 'fast', got {estimator!r}")
+
+    mats = _device_mats(cfg, "float32")
     pre2 = bursts[..., cfg.cp_len : cfg.cp_len + 2 * K].reshape(B, 4 * K)
 
     call = _rx_factored_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
