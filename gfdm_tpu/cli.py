@@ -1,0 +1,343 @@
+"""Command-line GFDM modem: the framework's application layer.
+
+The reference ships its applications as GRC flowgraphs (examples/
+gfdm_ota_demo.grc: CRC32 -> repack bits -> mapper -> transmitter -> USRP,
+and the reverse chain). This module is the TPU-native equivalent as a
+self-contained CLI:
+
+    python -m gfdm_tpu info                        # derived constants
+    python -m gfdm_tpu tx  --infile p.bin --outfile iq.cf32
+    python -m gfdm_tpu rx  --infile iq.cf32 --outfile out.bin
+    python -m gfdm_tpu simulate --bursts 64 --snr-db 12
+
+`tx` packs a byte file into CRC-32-protected QPSK bursts and writes an IQ
+sample stream (cf32 interleaved float32 or sc16, the two formats the
+reference's converter.py handles); `rx` runs the full receiver (sync ->
+burst extraction -> channel estimation -> ZF + IC -> demap -> CRC check)
+and writes back the recovered payload bytes. `simulate` closes the loop
+through a multipath + AWGN channel without touching the filesystem.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .config import GfdmConfig
+from .utils.converter import cf64_to_sc16, sc16_to_cf64
+from .utils.framing import (
+    attach_crc32,
+    check_crc32,
+    pack_bits,
+    payload_capacity_bytes,
+    unpack_bits,
+)
+
+__all__ = ["main", "build_config", "tx_file", "rx_file", "simulate"]
+
+
+# ---------------------------------------------------------------------------
+# config plumbing
+# ---------------------------------------------------------------------------
+def add_config_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("waveform")
+    g.add_argument("--timeslots", "-M", type=int, default=9)
+    g.add_argument("--subcarriers", "-K", type=int, default=64)
+    g.add_argument("--active-subcarriers", type=int, default=52)
+    g.add_argument("--overlap", "-L", type=int, default=2)
+    g.add_argument("--cp-len", type=int, default=16)
+    g.add_argument("--cs-len", type=int, default=8)
+    g.add_argument("--filteralpha", type=float, default=0.2)
+
+
+def build_config(args: argparse.Namespace) -> GfdmConfig:
+    return GfdmConfig(
+        timeslots=args.timeslots,
+        subcarriers=args.subcarriers,
+        active_subcarriers=args.active_subcarriers,
+        overlap=args.overlap,
+        cp_len=args.cp_len,
+        cs_len=args.cs_len,
+        filteralpha=args.filteralpha,
+    )
+
+
+def _read_iq(path: str, fmt: str) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.int16 if fmt == "sc16" else np.float32)
+    if fmt == "sc16":
+        return sc16_to_cf64(raw).astype(np.complex64)
+    return raw.view(np.complex64) if raw.size % 2 == 0 else raw[:-1].view(np.complex64)
+
+
+def _write_iq(path: str, samples: np.ndarray, fmt: str) -> None:
+    if fmt == "sc16":
+        cf64_to_sc16(samples.astype(np.complex128)).tofile(path)
+    else:
+        samples.astype(np.complex64).view(np.float32).tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# payload <-> symbol framing (QPSK, CRC-32 per burst)
+# ---------------------------------------------------------------------------
+def payload_to_symbols(cfg: GfdmConfig, payload: bytes) -> tuple[np.ndarray, int]:
+    """File bytes -> (n_bursts, n_data_symbols) QPSK with per-burst CRC-32.
+
+    The final burst is zero-padded to capacity; returns the symbol batch and
+    the number of bursts.
+    """
+    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    if cap <= 0:
+        raise ValueError("configuration too small to carry a CRC-framed payload")
+    n_bursts = max(1, -(-len(payload) // cap))
+    padded = payload + b"\x00" * (n_bursts * cap - len(payload))
+    out = np.empty((n_bursts, cfg.n_data_symbols), dtype=np.complex64)
+    for i in range(n_bursts):
+        frame = attach_crc32(padded[i * cap : (i + 1) * cap])
+        bits = unpack_bits(frame)
+        bits = np.concatenate(
+            [bits, np.zeros(2 * cfg.n_data_symbols - bits.size, np.uint8)]
+        ).reshape(-1, 2)
+        out[i] = ((1 - 2.0 * bits[:, 0]) + 1j * (1 - 2.0 * bits[:, 1])) / np.sqrt(2)
+    return out, n_bursts
+
+
+def symbols_to_payloads(cfg: GfdmConfig, symbols: np.ndarray) -> list[tuple[bool, bytes]]:
+    """Hard-decide QPSK symbols back to (crc_ok, payload) per burst."""
+    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    results = []
+    for row in np.atleast_2d(symbols):
+        bits = np.stack([row.real < 0, row.imag < 0], axis=-1).astype(np.uint8)
+        frame = pack_bits(bits.reshape(-1)[: (cap + 4) * 8])
+        results.append(check_crc32(frame))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+def cmd_info(args: argparse.Namespace) -> int:
+    cfg = build_config(args)
+    print(
+        json.dumps(
+            {
+                "timeslots": cfg.timeslots,
+                "subcarriers": cfg.subcarriers,
+                "active_subcarriers": cfg.active_subcarriers,
+                "overlap": cfg.overlap,
+                "cp_len": cfg.cp_len,
+                "cs_len": cfg.cs_len,
+                "block_len": cfg.block_len,
+                "preamble_len": cfg.preamble_len,
+                "frame_len": cfg.frame_len,
+                "padded_frame_len": cfg.padded_frame_len,
+                "n_data_symbols": cfg.n_data_symbols,
+                "payload_bytes_per_burst": payload_capacity_bytes(cfg.n_data_symbols),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def tx_file(cfg: GfdmConfig, payload: bytes, scale: float = 0.7) -> np.ndarray:
+    """Byte payload -> contiguous IQ stream (one padded burst per chunk)."""
+    from .ops import tx as tx_ops
+    from .runtime.transmitter import shape_bursts
+
+    data, _ = payload_to_symbols(cfg, payload)
+    bursts = np.asarray(tx_ops.transmit(cfg, data))[:, 0, :]
+    shaped = np.asarray(shape_bursts(cfg, bursts, scale=scale))
+    return shaped.reshape(-1)
+
+
+def rx_file(
+    cfg: GfdmConfig, stream: np.ndarray, ic_iterations: int = 2
+) -> tuple[bytes, dict]:
+    """IQ stream -> (recovered bytes from CRC-valid bursts, stats dict)."""
+    from .runtime.receiver import receive_stream
+
+    chunk = cfg.padded_frame_len
+    n = stream.size // chunk
+    if n == 0:
+        raise ValueError(
+            f"stream too short: {stream.size} samples < one padded frame ({chunk})"
+        )
+    out = receive_stream(
+        cfg, stream[: n * chunk].reshape(n, chunk), ic_iterations=ic_iterations
+    )
+    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]))
+    payload = b"".join(p for ok, p in decoded if ok)
+    snr = np.asarray(out["snr_lin"], dtype=np.float64)
+    stats = {
+        "bursts": n,
+        "crc_ok": sum(ok for ok, _ in decoded),
+        "snr_db_mean": round(float(10 * np.log10(np.maximum(snr, 1e-12)).mean()), 2),
+        "bytes": len(payload),
+    }
+    return payload, stats
+
+
+def cmd_tx(args: argparse.Namespace) -> int:
+    cfg = build_config(args)
+    payload = open(args.infile, "rb").read() if args.infile != "-" else sys.stdin.buffer.read()
+    stream = tx_file(cfg, payload, scale=args.scale)
+    _write_iq(args.outfile, stream, args.iq_format)
+    print(
+        json.dumps(
+            {
+                "bursts": stream.size // cfg.padded_frame_len,
+                "samples": int(stream.size),
+                "iq_format": args.iq_format,
+            }
+        ),
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_rx(args: argparse.Namespace) -> int:
+    cfg = build_config(args)
+    stream = _read_iq(args.infile, args.iq_format)
+    payload, stats = rx_file(cfg, stream, ic_iterations=args.ic)
+    if args.outfile == "-":
+        sys.stdout.buffer.write(payload)
+    else:
+        with open(args.outfile, "wb") as f:
+            f.write(payload)
+    print(json.dumps(stats), file=sys.stderr)
+    return 0 if stats["crc_ok"] == stats["bursts"] else 1
+
+
+def simulate(
+    cfg: GfdmConfig,
+    n_bursts: int = 16,
+    snr_db: float = 15.0,
+    ic_iterations: int = 2,
+    multipath: bool = True,
+    seed: int = 0,
+) -> dict:
+    """Random-payload loopback through multipath + AWGN; returns stats.
+
+    ``snr_db`` sets noise relative to mean power over the whole padded
+    chunk; ``snr_db_est`` is the receiver's per-active-subcarrier estimate
+    in the preamble band (the reference's snr_lin tag convention,
+    /root/reference/lib/preamble_channel_estimator_cc.cc:187-235), which
+    sits ~9-10 dB above nominal here (padding occupancy + preamble power +
+    bin concentration). The two track dB-for-dB.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .runtime import channel as chan
+    from .runtime.receiver import receive_stream
+
+    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, n_bursts * cap, dtype=np.uint8).tobytes()
+    stream = tx_file(cfg, payload).reshape(n_bursts, -1)
+    s = jnp.asarray(stream)
+    if multipath:
+        s = chan.multipath(s, jnp.asarray([1.0, 0.25 + 0.15j, -0.1j]))
+    s = chan.awgn(jax.random.PRNGKey(seed), s, snr_db)
+    out = receive_stream(cfg, s, ic_iterations=ic_iterations)
+    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]))
+    got = b"".join(p for ok, p in decoded if ok)
+    sent_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
+    ok_idx = [i for i, (ok, _) in enumerate(decoded) if ok]
+    ber_bits = 0
+    for i, (ok, p) in enumerate(decoded):
+        if ok:
+            ber_bits += int(
+                (
+                    np.unpackbits(np.frombuffer(p, np.uint8))
+                    != sent_bits[i * cap * 8 : (i + 1) * cap * 8]
+                ).sum()
+            )
+    snr = np.asarray(out["snr_lin"], dtype=np.float64)
+    return {
+        "bursts": n_bursts,
+        "crc_ok": len(ok_idx),
+        "payload_intact": got == payload,
+        "residual_bit_errors": ber_bits,
+        "snr_db_true": snr_db,
+        "snr_db_est": round(float(10 * np.log10(np.maximum(snr, 1e-12)).mean()), 2),
+    }
+
+
+def cmd_simulate(args: argparse.Namespace) -> int:
+    cfg = build_config(args)
+    stats = simulate(
+        cfg,
+        n_bursts=args.bursts,
+        snr_db=args.snr_db,
+        ic_iterations=args.ic,
+        multipath=not args.no_multipath,
+        seed=args.seed,
+    )
+    print(json.dumps(stats))
+    return 0 if stats["crc_ok"] == stats["bursts"] else 1
+
+
+# ---------------------------------------------------------------------------
+def _select_device(device: str) -> None:
+    """Pin the JAX platform before the first computation.
+
+    The complex-dtype chain used by the CLI cannot transfer to/from this
+    environment's TPU backend (planar layouts are the TPU path — see
+    gfdm_tpu.ops.planar), so the CLI defaults to CPU. The env-var route
+    (JAX_PLATFORMS) is too late when sitecustomize pre-registers the TPU
+    plugin, hence jax.config.
+    """
+    if device == "auto":
+        return
+    import jax
+
+    jax.config.update("jax_platforms", device)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gfdm_tpu", description=__doc__.split("\n")[0])
+    p.add_argument(
+        "--device", choices=("cpu", "tpu", "auto"), default="cpu",
+        help="JAX platform for the modem math (default: cpu)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("info", help="print derived waveform constants")
+    add_config_args(pi)
+    pi.set_defaults(fn=cmd_info)
+
+    pt = sub.add_parser("tx", help="bytes -> IQ sample file")
+    add_config_args(pt)
+    pt.add_argument("--infile", required=True, help="payload file ('-' = stdin)")
+    pt.add_argument("--outfile", required=True, help="IQ output file")
+    pt.add_argument("--iq-format", choices=("cf32", "sc16"), default="cf32")
+    pt.add_argument("--scale", type=float, default=0.7)
+    pt.set_defaults(fn=cmd_tx)
+
+    pr = sub.add_parser("rx", help="IQ sample file -> recovered bytes")
+    add_config_args(pr)
+    pr.add_argument("--infile", required=True, help="IQ input file")
+    pr.add_argument("--outfile", required=True, help="payload output ('-' = stdout)")
+    pr.add_argument("--iq-format", choices=("cf32", "sc16"), default="cf32")
+    pr.add_argument("--ic", type=int, default=2, help="IC iterations")
+    pr.set_defaults(fn=cmd_rx)
+
+    ps = sub.add_parser("simulate", help="loopback link through a simulated channel")
+    add_config_args(ps)
+    ps.add_argument("--bursts", type=int, default=16)
+    ps.add_argument("--snr-db", type=float, default=15.0)
+    ps.add_argument("--ic", type=int, default=2)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--no-multipath", action="store_true")
+    ps.set_defaults(fn=cmd_simulate)
+
+    args = p.parse_args(argv)
+    _select_device(args.device)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
