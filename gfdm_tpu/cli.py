@@ -26,7 +26,7 @@ import sys
 import numpy as np
 
 from .config import GfdmConfig
-from .utils.converter import cf64_to_sc16, sc16_to_cf64
+from .utils.converter import SC16_SCALE, cf64_to_sc16, sc16_to_cf64
 from .utils.framing import (
     attach_crc32,
     check_crc32,
@@ -66,13 +66,23 @@ def build_config(args: argparse.Namespace) -> GfdmConfig:
 
 def _read_iq(path: str, fmt: str) -> np.ndarray:
     raw = np.fromfile(path, dtype=np.int16 if fmt == "sc16" else np.float32)
+    # A truncated capture can end mid-sample; drop the trailing scalar in
+    # both formats rather than crashing on an odd-length reshape.
+    raw = raw[: raw.size // 2 * 2]
     if fmt == "sc16":
         return sc16_to_cf64(raw).astype(np.complex64)
-    return raw.view(np.complex64) if raw.size % 2 == 0 else raw[:-1].view(np.complex64)
+    return raw.view(np.complex64)
 
 
 def _write_iq(path: str, samples: np.ndarray, fmt: str) -> None:
     if fmt == "sc16":
+        peak = float(max(np.abs(samples.real).max(), np.abs(samples.imag).max())) if samples.size else 0.0
+        if peak * SC16_SCALE > 32767:
+            print(
+                f"warning: sc16 clipping (peak |component| {peak:.3f} > "
+                f"{32767 / SC16_SCALE:.6f}); reduce --scale to avoid burst corruption",
+                file=sys.stderr,
+            )
         cf64_to_sc16(samples.astype(np.complex128)).tofile(path)
     else:
         samples.astype(np.complex64).view(np.float32).tofile(path)
@@ -170,18 +180,30 @@ def rx_file(
     decoded = symbols_to_payloads(cfg, np.asarray(out["data"]))
     payload = b"".join(p for ok, p in decoded if ok)
     snr = np.asarray(out["snr_lin"], dtype=np.float64)
+    dropped = int(stream.size - n * chunk)
+    if dropped:
+        print(
+            f"warning: discarding {dropped} trailing samples "
+            f"(< one padded frame of {chunk}); capture may be truncated",
+            file=sys.stderr,
+        )
     stats = {
         "bursts": n,
         "crc_ok": sum(ok for ok, _ in decoded),
         "snr_db_mean": round(float(10 * np.log10(np.maximum(snr, 1e-12)).mean()), 2),
         "bytes": len(payload),
+        "discarded_samples": dropped,
     }
     return payload, stats
 
 
 def cmd_tx(args: argparse.Namespace) -> int:
     cfg = build_config(args)
-    payload = open(args.infile, "rb").read() if args.infile != "-" else sys.stdin.buffer.read()
+    if args.infile == "-":
+        payload = sys.stdin.buffer.read()
+    else:
+        with open(args.infile, "rb") as f:
+            payload = f.read()
     stream = tx_file(cfg, payload, scale=args.scale)
     _write_iq(args.outfile, stream, args.iq_format)
     print(

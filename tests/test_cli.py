@@ -65,6 +65,34 @@ def test_cli_end_to_end(cfg, tmp_path):
         assert out.read_bytes() == payload
 
 
+def test_truncated_and_clipping_captures(cfg, tmp_path, capsys):
+    """Truncated sc16 files parse; tail drop and clipping are reported."""
+    from gfdm_tpu.cli import _read_iq, _write_iq
+
+    rng = np.random.default_rng(9)
+    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    payload = rng.integers(0, 256, cap, dtype=np.uint8).tobytes()
+    stream = tx_file(cfg, payload)
+
+    # odd-length sc16 file (capture cut mid-sample) must not crash
+    raw = (np.repeat(stream, 2).real * 1000).astype(np.int16)[:-1]
+    p = tmp_path / "trunc.sc16"
+    raw.tofile(p)
+    got = _read_iq(str(p), "sc16")
+    assert got.size == raw.size // 2
+
+    # rx_file reports discarded tail samples
+    _, stats = rx_file(cfg, np.concatenate([stream, stream[:17]]))
+    assert stats["discarded_samples"] == 17
+    assert "warning: discarding 17 trailing samples" in capsys.readouterr().err
+
+    # clipping warning on over-scaled sc16 writes
+    _write_iq(str(tmp_path / "clip.sc16"), stream * 40.0, "sc16")
+    assert "sc16 clipping" in capsys.readouterr().err
+    _write_iq(str(tmp_path / "ok.sc16"), stream, "sc16")
+    assert "clipping" not in capsys.readouterr().err
+
+
 def test_simulate_awgn(cfg):
     stats = simulate(cfg, n_bursts=4, snr_db=20.0, ic_iterations=2, seed=1)
     assert stats["crc_ok"] == stats["bursts"] == 4
