@@ -38,7 +38,38 @@ __all__ = [
     "resource_demapper_cc",
     "short_burst_shaper",
     "modulator_cc",
+    "preamble_generator",
 ]
+
+
+def preamble_generator(nsubcarrier: int, filter_alpha: float, sync_fft_len: int,
+                       seed: int | None = None, cp_len: int = 0,
+                       ramp_len: int = 0):
+    """Standalone sync-preamble source (GRC variable block).
+
+    Mirrors the reference's `gfdm.preamble_generator(nsubcarrier,
+    filter_alpha, sync_fft_len)` variable (/root/reference/grc/
+    gfdm_preamble_generator.block.yml:23) — a dangling GRC YAML whose
+    implementation was removed from the reference tree; semantics follow the
+    pygfdm preamble machinery it wrapped (python/pygfdm/preamble.py:91-132):
+    a two-half repeating Schmidl&Cox-style preamble of ``sync_fft_len``
+    samples with ``nsubcarrier`` active subcarriers.
+
+    Returns ``(windowed_preamble, core_preamble)`` as complex arrays.
+    """
+    from .ref.mapping import subcarrier_map
+    from .ref.preamble import mapped_preamble
+
+    subcarriers = sync_fft_len // 2
+    if not (0 < nsubcarrier <= subcarriers):
+        raise ValueError(
+            f"nsubcarrier must be in (0, sync_fft_len/2 = {subcarriers}]"
+        )
+    smap = subcarrier_map(subcarriers, nsubcarrier, dc_free=False)
+    return mapped_preamble(
+        seed, "rrc", filter_alpha, nsubcarrier, subcarriers, smap,
+        overlap=2, cp_len=cp_len, ramp_len=ramp_len, use_zadoff_chu=True,
+    )
 
 
 class _Block:

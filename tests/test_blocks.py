@@ -74,3 +74,17 @@ def test_block_shaper_and_legacy_modulator():
     grid = np.asarray(blocks.resource_mapper_cc(CFG)(data))
     out = np.asarray(legacy(grid))
     assert out.shape == (1, 2 * CFG.block_len)
+
+
+def test_preamble_generator_variable_block():
+    """GRC variable block analogue: repeated-half sync preamble
+    (grc/gfdm_preamble_generator.block.yml)."""
+    full, core = blocks.preamble_generator(16, 0.35, 32)
+    assert core.shape == (32,)
+    halves = core.reshape(2, -1)
+    np.testing.assert_allclose(halves[0], halves[1], atol=1e-12)
+    # windowed variant with CP: length = cp + core + ramp(cs)
+    full, core = blocks.preamble_generator(12, 0.2, 32, cp_len=8, ramp_len=4)
+    assert full.shape == (8 + 32 + 4,)
+    with np.testing.assert_raises(ValueError):
+        blocks.preamble_generator(40, 0.2, 32)
