@@ -22,6 +22,7 @@ __all__ = [
     "StreamBuffer",
     "StreamBank",
     "FileIngest",
+    "UdpIngest",
 ]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgfdm_host.so")
@@ -93,6 +94,11 @@ def _load():
     lib.gfdm_ingest_start_sc16.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_float, i64
     ]
+    lib.gfdm_ingest_start_udp.restype = ctypes.c_void_p
+    lib.gfdm_ingest_start_udp.argtypes = [
+        ctypes.c_uint16, ctypes.c_void_p, ctypes.c_float, i64
+    ]
+    lib.gfdm_ingest_request_stop.argtypes = [ctypes.c_void_p]
     lib.gfdm_ingest_poll.restype = i64
     lib.gfdm_ingest_poll.argtypes = [ctypes.c_void_p]
     lib.gfdm_ingest_finish.restype = i64
@@ -340,6 +346,48 @@ class FileIngest:
 
     def finish(self) -> int:
         """Join the reader thread; returns total samples ingested."""
+        if self._h is None:
+            return 0
+        n = int(self._lib.gfdm_ingest_finish(self._h))
+        self._h = None
+        return n
+
+
+class UdpIngest:
+    """Background-thread UDP sc16 receiver feeding a StreamBuffer.
+
+    The NIC-ingest analogue of a UHD/VITA-49 recv thread (the reference's
+    OTA demo sources samples from uhd_usrp_source,
+    /root/reference/examples/gfdm_ota_demo.grc): interleaved sc16 IQ
+    datagrams sent to 127.0.0.1:``port`` are converted and pushed into the
+    ring without Python in the loop. A zero-length datagram marks
+    end-of-stream; :meth:`stop` also ends the loop.
+    """
+
+    def __init__(self, port: int, stream: StreamBuffer,
+                 scale: float = SC16_SCALE, max_datagram_bytes: int = 65536):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.port = int(port)
+        self._h = ctypes.c_void_p(
+            lib.gfdm_ingest_start_udp(
+                self.port, stream._h, float(scale), int(max_datagram_bytes)
+            )
+        )
+
+    @property
+    def running(self) -> bool:
+        return int(self._lib.gfdm_ingest_poll(self._h)) < 0
+
+    def stop(self) -> None:
+        """Request the receive loop to exit (seen within ~100 ms)."""
+        if self._h is not None:
+            self._lib.gfdm_ingest_request_stop(self._h)
+
+    def finish(self) -> int:
+        """Join the receiver thread; returns total samples ingested."""
         if self._h is None:
             return 0
         n = int(self._lib.gfdm_ingest_finish(self._h))

@@ -27,6 +27,12 @@
 #include <thread>
 #include <vector>
 
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <unistd.h>
+
 #if defined(__x86_64__) || defined(_M_X64)
 #include <immintrin.h>
 #define GFDM_X86 1
@@ -63,6 +69,22 @@ static void sc16_to_planar_avx2(const int16_t* in, float* re, float* im,
     }
     sc16_to_planar_scalar(in + 2 * i, re + i, im + i, n - i, k);
 }
+
+__attribute__((target("avx512f,avx512bw")))
+static void sc16_to_planar_avx512(const int16_t* in, float* re, float* im,
+                                  int64_t n, float k) {
+    const __m512 vk = _mm512_set1_ps(k);
+    int64_t i = 0;
+    for (; i + 16 <= n; i += 16) {
+        // 16 IQ pairs = 32 int16; each 32-bit lane is (Q<<16)|I
+        __m512i v = _mm512_loadu_si512(in + 2 * i);
+        __m512i vi = _mm512_srai_epi32(_mm512_slli_epi32(v, 16), 16);
+        __m512i vq = _mm512_srai_epi32(v, 16);
+        _mm512_storeu_ps(re + i, _mm512_mul_ps(_mm512_cvtepi32_ps(vi), vk));
+        _mm512_storeu_ps(im + i, _mm512_mul_ps(_mm512_cvtepi32_ps(vq), vk));
+    }
+    sc16_to_planar_scalar(in + 2 * i, re + i, im + i, n - i, k);
+}
 #endif
 
 // Interleaved sc16 [I0,Q0,I1,Q1,...] -> planar float32 (re then im planes).
@@ -70,6 +92,11 @@ void gfdm_sc16_to_planar(const int16_t* in, float* re, float* im,
                          int64_t n_samples, float scale) {
     const float k = 1.0f / scale;
 #ifdef GFDM_X86
+    if (__builtin_cpu_supports("avx512f") &&
+        __builtin_cpu_supports("avx512bw")) {
+        sc16_to_planar_avx512(in, re, im, n_samples, k);
+        return;
+    }
     if (__builtin_cpu_supports("avx2")) {
         sc16_to_planar_avx2(in, re, im, n_samples, k);
         return;
@@ -111,12 +138,37 @@ static void planar_to_sc16_avx2(const float* re, const float* im,
     }
     planar_to_sc16_scalar(re + i, im + i, out + 2 * i, n - i, scale);
 }
+
+__attribute__((target("avx512f,avx512bw")))
+static void planar_to_sc16_avx512(const float* re, const float* im,
+                                  int16_t* out, int64_t n, float scale) {
+    const __m512 vs = _mm512_set1_ps(scale);
+    const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
+    const __m512i vmin = _mm512_set1_epi32(-32768);
+    const __m512i vmax = _mm512_set1_epi32(32767);
+    int64_t i = 0;
+    for (; i + 16 <= n; i += 16) {
+        __m512i vi = _mm512_cvtps_epi32(_mm512_mul_ps(_mm512_loadu_ps(re + i), vs));
+        __m512i vq = _mm512_cvtps_epi32(_mm512_mul_ps(_mm512_loadu_ps(im + i), vs));
+        vi = _mm512_min_epi32(vmax, _mm512_max_epi32(vmin, vi));
+        vq = _mm512_min_epi32(vmax, _mm512_max_epi32(vmin, vq));
+        __m512i packed = _mm512_or_si512(_mm512_slli_epi32(vq, 16),
+                                         _mm512_and_si512(vi, lo16));
+        _mm512_storeu_si512(out + 2 * i, packed);
+    }
+    planar_to_sc16_scalar(re + i, im + i, out + 2 * i, n - i, scale);
+}
 #endif
 
 // Planar float32 -> interleaved sc16 with clamping.
 void gfdm_planar_to_sc16(const float* re, const float* im, int16_t* out,
                          int64_t n_samples, float scale) {
 #ifdef GFDM_X86
+    if (__builtin_cpu_supports("avx512f") &&
+        __builtin_cpu_supports("avx512bw")) {
+        planar_to_sc16_avx512(re, im, out, n_samples, scale);
+        return;
+    }
     if (__builtin_cpu_supports("avx2")) {
         planar_to_sc16_avx2(re, im, out, n_samples, scale);
         return;
@@ -394,6 +446,7 @@ struct GfdmIngest {
     std::thread th;
     std::atomic<int64_t> samples{0};
     std::atomic<bool> done{false};
+    std::atomic<bool> stop{false};
 };
 
 // Start a background thread that reads interleaved sc16 from `path` and
@@ -419,6 +472,53 @@ void* gfdm_ingest_start_sc16(const char* path, void* stream, float scale,
         ing->done.store(true, std::memory_order_release);
     });
     return ing;
+}
+
+// Start a background thread that receives interleaved sc16 IQ datagrams on
+// a local UDP port and pushes them into `stream` - the NIC-ingest analogue
+// of a UHD/VITA-49 recv thread (the reference's OTA demo sources samples
+// from uhd_usrp_source, examples/gfdm_ota_demo.grc). A zero-length datagram
+// marks end-of-stream; gfdm_ingest_request_stop() also ends the loop.
+void* gfdm_ingest_start_udp(uint16_t port, void* stream, float scale,
+                            int64_t max_datagram_bytes) {
+    auto* ing = new GfdmIngest();
+    ing->th = std::thread([ing, port, stream, scale, max_datagram_bytes]() {
+        int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+        if (fd >= 0) {
+            int one = 1;
+            ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+            timeval tv{0, 100000};  // 100 ms poll so stop requests are seen
+            ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+            sockaddr_in addr{};
+            addr.sin_family = AF_INET;
+            addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+            addr.sin_port = htons(port);
+            if (::bind(fd, reinterpret_cast<sockaddr*>(&addr),
+                       sizeof(addr)) == 0) {
+                std::vector<int16_t> buf(
+                    static_cast<size_t>(max_datagram_bytes) / 2);
+                while (!ing->stop.load(std::memory_order_acquire)) {
+                    const ssize_t got = ::recv(fd, buf.data(),
+                                               static_cast<size_t>(max_datagram_bytes), 0);
+                    if (got == 0) break;  // explicit end-of-stream marker
+                    if (got < 0) continue;  // timeout: re-check stop flag
+                    const int64_t ns = static_cast<int64_t>(got) / 4;
+                    if (ns > 0) {
+                        gfdm_stream_push_sc16(stream, buf.data(), ns, scale);
+                        ing->samples.fetch_add(ns, std::memory_order_relaxed);
+                    }
+                }
+            }
+            ::close(fd);
+        }
+        ing->done.store(true, std::memory_order_release);
+    });
+    return ing;
+}
+
+// Ask a UDP ingest loop to exit (takes effect within one poll interval).
+void gfdm_ingest_request_stop(void* h) {
+    static_cast<GfdmIngest*>(h)->stop.store(true, std::memory_order_release);
 }
 
 // -1 while running, else total samples ingested.

@@ -208,3 +208,50 @@ def test_stream_buffer_concurrent_producer_consumer():
             np.testing.assert_allclose(c, ref / 8191.0, atol=2e-4)
             seen += 1
     assert seen == 64 - 1  # last chunk's halo completes only at EOF padding
+
+
+def test_udp_ingest_background_thread():
+    """Native UDP receiver thread ingests sc16 datagrams into the ring
+    (the UHD/VITA-49 NIC-ingest analogue)."""
+    import socket
+    import time
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(-10000, 10000, 2 * 4096, dtype=np.int16)
+    sb = native.StreamBuffer(capacity=16384, chunk_len=1024, halo=256)
+    port = 47311
+    ing = native.UdpIngest(port, sb)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        # 8 datagrams of 512 samples each, then an end-of-stream marker
+        for i in range(8):
+            sock.sendto(raw[i * 1024 : (i + 1) * 1024].tobytes(),
+                        ("127.0.0.1", port))
+            time.sleep(0.002)  # loopback is lossless but not infinitely fast
+        sock.sendto(b"", ("127.0.0.1", port))
+        for _ in range(300):
+            if not ing.running:
+                break
+            time.sleep(0.01)
+        assert ing.finish() == 4096
+    finally:
+        sock.close()
+    chunks, base = sb.pull(8)
+    assert base == 0 and chunks.shape[0] == 3
+    ref = native.sc16_to_planar(raw)
+    np.testing.assert_allclose(chunks[0], ref[:, : 1024 + 256], atol=1e-6)
+
+
+def test_udp_ingest_stop_request():
+    """stop() ends an idle receive loop without an end-of-stream datagram."""
+    import time
+
+    sb = native.StreamBuffer(capacity=4096, chunk_len=512, halo=0)
+    ing = native.UdpIngest(47313, sb)
+    assert ing.running
+    ing.stop()
+    for _ in range(100):
+        if not ing.running:
+            break
+        time.sleep(0.01)
+    assert ing.finish() == 0
