@@ -67,6 +67,7 @@ __all__ = [
     "tx_cdd_fused",
     "receive_bursts_fused",
     "link_step_fused",
+    "link_single_fused",
 ]
 
 
@@ -75,6 +76,21 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _gdot(xr, xi, g_ref, n_in):
+    """Complex matmul via Gauss's 3-real-matmul identity.
+
+    g_ref holds the (3*n_in, n_out) stack [Wr; Wi; Wr+Wi] (see
+    planar.gauss_stack). 3 MXU matmuls instead of the realified form's
+    equivalent 4; the extra adds are VPU-cheap.
+    """
+    p1 = jnp.dot(xr, g_ref[0:n_in], preferred_element_type=jnp.float32)
+    p2 = jnp.dot(xi, g_ref[n_in : 2 * n_in], preferred_element_type=jnp.float32)
+    p3 = jnp.dot(
+        xr + xi, g_ref[2 * n_in : 3 * n_in], preferred_element_type=jnp.float32
+    )
+    return p1 - p2, p3 - p1 - p2
 
 
 # ---------------------------------------------------------------------------
@@ -295,25 +311,23 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     """
     n = cfg.block_len
     M = cfg.timeslots
-    pre_len = 2 * 2 * cfg.subcarriers
+    half = 2 * cfg.subcarriers  # complex preamble length (2K)
     L = cfg.frame_len
     cp = cfg.cp_len
     fs = cfg.preamble_len + cfg.cp_len
 
     burst = frame_ref[:]  # (Bb, 2*frame_len) planar-flat burst
-    pre2 = jnp.concatenate(
-        [burst[:, cp : cp + pre_len // 2],
-         burst[:, L + cp : L + cp + pre_len // 2]], axis=-1
-    )
-    chan = jnp.dot(pre2, e_ref[:], preferred_element_type=jnp.float32)
-    chan_ref[:] = chan  # expose the channel estimate as a second output
+    pre_r = burst[:, cp : cp + half]
+    pre_i = burst[:, L + cp : L + cp + half]
+    Chr, Chi = _gdot(pre_r, pre_i, e_ref, half)
+    chan_ref[:, :n] = Chr  # expose the channel estimate as a second output
+    chan_ref[:, n:] = Chi
 
     # SNR/CNR metrics fused in: 2K-point preamble DFT, even/odd-bin energy
     # split (preamble_channel_estimator_cc.cc:187-235) with the bin selection
     # and sums as one small matmul. met = [snr_lin | scaled cnrs | 0-pad].
-    half = pre_len // 2
-    F = jnp.dot(pre2, f2_ref[:], preferred_element_type=jnp.float32)
-    p = F[:, :half] ** 2 + F[:, half:] ** 2
+    Fr, Fi = _gdot(pre_r, pre_i, f2_ref, half)
+    p = Fr * Fr + Fi * Fi
     sums = jnp.dot(p, sel_ref[:], preferred_element_type=jnp.float32)
     sig = sums[:, 0:1]
     noise = sums[:, 1:2]
@@ -326,18 +340,13 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
             (burst.shape[0], met_ref.shape[-1] - 1 - n_cnr), jnp.float32
         )
 
-    frame = jnp.concatenate(
-        [burst[:, fs : fs + n], burst[:, L + fs : L + fs + n]], axis=-1
+    Xr, Xi = _gdot(
+        burst[:, fs : fs + n], burst[:, L + fs : L + fs + n], fw_ref, n
     )
-    X = jnp.dot(frame, fw_ref[:], preferred_element_type=jnp.float32)
-    Xr, Xi = X[:, :n], X[:, n:]
-    Cr, Ci = chan[:, :n], chan[:, n:]
-    den = jnp.maximum(Cr * Cr + Ci * Ci, 1e-30)
-    Y = jnp.concatenate(
-        [(Xr * Cr + Xi * Ci) / den, (Xi * Cr - Xr * Ci) / den], axis=-1
-    )
-    S = jnp.dot(Y, bfd_ref[:], preferred_element_type=jnp.float32)
-    d0r, d0i = S[:, :n], S[:, n:]
+    den = jnp.maximum(Chr * Chr + Chi * Chi, 1e-30)
+    Yr = (Xr * Chr + Xi * Chi) / den
+    Yi = (Xi * Chr - Xr * Chi) / den
+    d0r, d0i = _gdot(Yr, Yi, bfd_ref, n)
     act = act_ref[:]
     a = qpsk_amp
 
@@ -353,18 +362,27 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
             return v
         return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
 
+    # IC loop, roll-optimized: (a) both planes stacked along sublanes so
+    # every circular roll moves one (2*Bb, N) array instead of two; (b) the
+    # stacked decisions are EXACT bf16 {-1, 0, +1} (the QPSK amplitude is
+    # folded into the tap constants), halving roll/blend byte traffic with
+    # zero numerical loss - +-1/0, their pairwise sums, and all rotations
+    # are exactly representable and bf16 -> f32 promotion is exact.
+    bb = d0r.shape[0]
     dr, di = d0r, d0i
     for _ in range(ic_iterations):
-        hr = jnp.where(dr >= 0, a, -a) * act
-        hi = jnp.where(di >= 0, a, -a) * act
-        nr = groll(hr, M) + groll(hr, -M)
-        ni = groll(hi, M) + groll(hi, -M)
-        ir = jnp.zeros_like(nr)
-        ii = jnp.zeros_like(ni)
+        h2 = jnp.concatenate(
+            [jnp.where(dr >= 0, 1.0, -1.0), jnp.where(di >= 0, 1.0, -1.0)],
+            axis=0,
+        )
+        h2 = (h2 * act).astype(jnp.bfloat16)
+        n2 = groll(h2, M) + groll(h2, -M)
+        ir = jnp.zeros_like(d0r)
+        ii = jnp.zeros_like(d0i)
         for j in range(M):
-            sr = block_rot(nr, j)
-            si = block_rot(ni, j)
-            cr_, ci_ = c_taps_r[j], c_taps_i[j]
+            s2 = block_rot(n2, j).astype(jnp.float32)
+            sr, si = s2[:bb], s2[bb:]
+            cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
             ir = ir + cr_ * sr - ci_ * si
             ii = ii + cr_ * si + ci_ * sr
         dr = d0r - ir
@@ -384,7 +402,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
     n2 = 2 * n
     M = cfg.timeslots
     f2 = 2 * cfg.frame_len
-    e_rows = 2 * 2 * cfg.subcarriers
+    half = 2 * cfg.subcarriers  # complex preamble length (2K)
     # circulant taps: column 0 of C^T-form equals ifft(ic_taps) arranged so
     # that (v @ C_Wform)[m] = sum_j c[j] * v[(m - j) mod M]
     Cmat = (
@@ -400,7 +418,6 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
         tuple(float(x) for x in c_col.imag),
         n_cnr,
     )
-    half = e_rows // 2  # 2K power bins
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -411,10 +428,10 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
         grid=(batch // block,),
         in_specs=[
             pl.BlockSpec((block, f2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((e_rows, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((e_rows, e_rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * half, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * half, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((half, met_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M - 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -486,10 +503,10 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                             bool(interpret))
     chan, out, met = call(
         bursts.reshape(B, -1),
-        jnp.asarray(mats["E_W"]),
-        jnp.asarray(mats["F_W"]),
-        jnp.asarray(mats["Bfd_W"]),
-        jnp.asarray(mats["F2_W"]),
+        jnp.asarray(mats["E_G"]),
+        jnp.asarray(mats["F_G"]),
+        jnp.asarray(mats["Bfd_G"]),
+        jnp.asarray(mats["F2_G"]),
         jnp.asarray(_met_selection(cfg)),
         jnp.asarray(active),
         jnp.asarray(_circ_masks(cfg)),
@@ -1183,23 +1200,243 @@ def link_step_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# fully fused loopback link: Tx -> burst (VMEM) -> receiver in ONE kernel
+# ---------------------------------------------------------------------------
+def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                 c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
+                 data_ref, tw_ref, win_ref, pre_ref, e_ref, fw_ref, bfd_ref,
+                 f2_ref, sel_ref, act_ref, mlt_ref, dsel_ref,
+                 out_ref, met_ref):
+    """End-to-end link with the burst batch held in VMEM.
+
+    Tx (core modulate -> CP/CS + window -> preamble) and the full receiver
+    (channel est + SNR/CNR + ZF + demod + circulant IC + demap) run in one
+    VMEM pass per burst block: the 2*frame_len waveform never round-trips
+    through HBM between the chains. Shift 0, clean loopback - the evaluation
+    path of link_step_fused; tx_frame_fused/rx_receiver_fused remain the
+    split production chains for real channels.
+    """
+    n = cfg.block_len
+    n_d = cfg.n_data_symbols
+    M = cfg.timeslots
+    half = 2 * cfg.subcarriers  # complex preamble length (2K)
+    L = cfg.frame_len
+    cp, cs = cfg.cp_len, cfg.cs_len
+    p_len = cfg.preamble_len
+    fs = p_len + cp
+
+    # ---- Tx chain (mirrors _tx_kernel, shift 0)
+    d = data_ref[:]  # (Bb, 2*n_data)
+    bb = d.shape[0]
+    core = _gdot(d[:, :n_d], d[:, n_d:], tw_ref, n_d)
+    win = win_ref[:]
+    pre = pre_ref[:]  # (2, p_len)
+    burst = []
+    for plane in range(2):
+        c = core[plane]
+        framed = jnp.concatenate([c[:, n - cp :], c, c[:, :cs]], axis=-1) * win
+        burst.append(
+            jnp.concatenate(
+                [jnp.broadcast_to(pre[plane], (bb, p_len)), framed], axis=-1
+            )
+        )  # (Bb, frame_len), in VMEM only
+
+    # ---- receiver chain (mirrors _rx_ic_circ_kernel on the VMEM burst)
+    pre_r = burst[0][:, cp : cp + half]
+    pre_i = burst[1][:, cp : cp + half]
+    Chr, Chi = _gdot(pre_r, pre_i, e_ref, half)
+
+    Fr, Fi = _gdot(pre_r, pre_i, f2_ref, half)
+    p = Fr * Fr + Fi * Fi
+    sums = jnp.dot(p, sel_ref[:], preferred_element_type=jnp.float32)
+    sig = sums[:, 0:1]
+    noise = sums[:, 1:2]
+    snr_lin = (sig - noise) / noise
+    cnr = sums[:, 2 : 2 + n_cnr] * (snr_lin / (sig / n_cnr))
+    met_ref[:, 0:1] = snr_lin
+    met_ref[:, 1 : 1 + n_cnr] = cnr
+    if met_ref.shape[-1] > 1 + n_cnr:
+        met_ref[:, 1 + n_cnr :] = jnp.zeros(
+            (bb, met_ref.shape[-1] - 1 - n_cnr), jnp.float32
+        )
+
+    Xr, Xi = _gdot(burst[0][:, fs : fs + n], burst[1][:, fs : fs + n], fw_ref, n)
+    den = jnp.maximum(Chr * Chr + Chi * Chi, 1e-30)
+    Yr = (Xr * Chr + Xi * Chi) / den
+    Yi = (Xi * Chr - Xr * Chi) / den
+    d0r, d0i = _gdot(Yr, Yi, bfd_ref, n)
+    act = act_ref[:]
+    a = qpsk_amp
+
+    def groll(v, shift):
+        shift = shift % n
+        if shift == 0:
+            return v
+        return jnp.concatenate([v[:, n - shift :], v[:, : n - shift]], axis=1)
+
+    def block_rot(v, j):
+        if j == 0:
+            return v
+        return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
+
+    # roll-optimized IC loop (see _rx_ic_circ_kernel for the layout notes)
+    dr, di = d0r, d0i
+    for _ in range(ic_iterations):
+        h2 = jnp.concatenate(
+            [jnp.where(dr >= 0, 1.0, -1.0), jnp.where(di >= 0, 1.0, -1.0)],
+            axis=0,
+        )
+        h2 = (h2 * act).astype(jnp.bfloat16)
+        n2 = groll(h2, M) + groll(h2, -M)
+        ir = jnp.zeros_like(d0r)
+        ii = jnp.zeros_like(d0i)
+        for j in range(M):
+            s2 = block_rot(n2, j).astype(jnp.float32)
+            sr, si = s2[:bb], s2[bb:]
+            cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
+            ir = ir + cr_ * sr - ci_ * si
+            ii = ii + cr_ * si + ci_ * sr
+        dr = d0r - ir
+        di = d0i - ii
+
+    # demap as a 0/1 selection matmul (Mosaic-friendly gather)
+    dsel = dsel_ref[:]
+    out_ref[:, :n_d] = jnp.dot(dr, dsel, preferred_element_type=jnp.float32)
+    out_ref[:, n_d:] = jnp.dot(di, dsel, preferred_element_type=jnp.float32)
+
+
+@lru_cache(maxsize=16)
+def _link_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
+               qpsk_amp: float, interpret: bool):
+    from ..ops import operators as _ops
+    from ..ref.demodulation import ic_filter_taps as _ic
+
+    n = cfg.block_len
+    n_d = cfg.n_data_symbols
+    M = cfg.timeslots
+    half = 2 * cfg.subcarriers
+    w_len = cfg.window_len
+    p_len = cfg.preamble_len
+    Cmat = (
+        _ops.idft_matrix(M)
+        @ np.diag(_ic(cfg.rx_filter_taps, M, cfg.overlap))
+        @ _ops.dft_matrix(M)
+    )
+    c_col = Cmat[:, 0]
+    n_cnr, met_w = _met_layout(cfg)
+    kernel = functools.partial(
+        _link_kernel, cfg, ic_iterations, qpsk_amp,
+        tuple(float(x) for x in c_col.real),
+        tuple(float(x) for x in c_col.imag),
+        n_cnr,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, 2 * n_d), jnp.float32),  # data syms
+            jax.ShapeDtypeStruct((batch, met_w), jnp.float32),  # [snr | cnrs]
+        ),
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, 2 * n_d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n_d, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, p_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * half, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * half, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, met_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M - 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n_d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, 2 * n_d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, met_w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=16)
+def _demap_selection(cfg: GfdmConfig) -> np.ndarray:
+    """(N, n_data) 0/1 matrix: symbols @ dsel = demapped data symbols."""
+    from ..ops.tx import demap_indices
+
+    idx = np.asarray(demap_indices(cfg))
+    dsel = np.zeros((cfg.block_len, idx.size), dtype=np.float32)
+    dsel[idx, np.arange(idx.size)] = 1.0
+    return dsel
+
+
+def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
+                      block: int = 64, interpret: bool | None = None,
+                      qpsk_amp: float = 2.0**-0.5):
+    """One-kernel end-to-end link: payload -> Tx -> VMEM burst -> Rx -> data.
+
+    data: (B, 2, n_data) planar payload. Returns (data_hat (B, 2, n_data),
+    snr_lin (B,), evm scalar) - the link_step_fused contract, with the burst
+    waveform batch (2*frame_len floats per burst) never leaving VMEM.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    mats = _device_mats(cfg, "float32")
+    c = _small_consts(cfg, "float32")
+    n = cfg.block_len
+    n_d = cfg.n_data_symbols
+    active = np.zeros((1, n), dtype=np.float32)
+    for k in cfg.subcarrier_map:
+        active[0, k * cfg.timeslots : (k + 1) * cfg.timeslots] = 1.0
+    B = data.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be a multiple of block {block}")
+    call = _link_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
+                      bool(interpret))
+    n_cnr, _ = _met_layout(cfg)
+    out, met = call(
+        data.reshape(B, -1),
+        jnp.asarray(mats["T_G"]),
+        jnp.asarray(c["win"][None, :]),
+        jnp.asarray(c["preambles"][0]),
+        jnp.asarray(mats["E_G"]),
+        jnp.asarray(mats["F_G"]),
+        jnp.asarray(mats["Bfd_G"]),
+        jnp.asarray(mats["F2_G"]),
+        jnp.asarray(_met_selection(cfg)),
+        jnp.asarray(active),
+        jnp.asarray(_circ_masks(cfg)),
+        jnp.asarray(_demap_selection(cfg)),
+    )
+    d_hat = out.reshape(B, 2, n_d)
+    err = jnp.sum((d_hat - data) ** 2)
+    ref = jnp.maximum(jnp.sum(data**2), 1e-30)
+    evm = jnp.sqrt(err / ref)
+    return d_hat, met[:, 0], evm
+
+
+# ---------------------------------------------------------------------------
 # fused transmitter: map+modulate matmul -> CP gather -> window -> preamble
 # ---------------------------------------------------------------------------
 def _tx_kernel(cfg: GfdmConfig, shift: int,
                data_ref, tw_ref, win_ref, pre_ref, out_ref):
     n = cfg.block_len
+    n_d = cfg.n_data_symbols
     w_len = cfg.window_len
     p_len = cfg.preamble_len
     cp, cs = cfg.cp_len, cfg.cs_len
     d = data_ref[:]  # (Bb, 2*n_data)
-    core = jnp.dot(d, tw_ref[:], preferred_element_type=jnp.float32)  # (Bb, 2N)
+    core = _gdot(d[:, :n_d], d[:, n_d:], tw_ref, n_d)  # ((Bb, N), (Bb, N))
     bb = d.shape[0]
     pre = pre_ref[:]  # (2, p_len)
     win = win_ref[:]
     # CP/CS insertion is three contiguous slices (add_cyclic_prefix_cc.cc:78-90)
     # - no gather needed, which Mosaic would reject
     for plane in range(2):
-        c = core[:, plane * n : (plane + 1) * n]
+        c = core[plane]
         framed = jnp.concatenate(
             [c[:, n - cp - shift :], c, c[:, : cs - shift]], axis=-1
         ) * win
@@ -1211,7 +1448,7 @@ def _tx_kernel(cfg: GfdmConfig, shift: int,
 @lru_cache(maxsize=16)
 def _tx_call(cfg: GfdmConfig, batch: int, block: int, shift: int, interpret: bool):
     n = cfg.block_len
-    n_d2 = 2 * cfg.n_data_symbols
+    n_d = cfg.n_data_symbols
     w_len = cfg.window_len
     p_len = cfg.preamble_len
     f2 = 2 * cfg.frame_len
@@ -1221,8 +1458,8 @@ def _tx_call(cfg: GfdmConfig, batch: int, block: int, shift: int, interpret: boo
         out_shape=jax.ShapeDtypeStruct((batch, f2), jnp.float32),
         grid=(batch // block,),
         in_specs=[
-            pl.BlockSpec((block, n_d2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_d2, 2 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 2 * n_d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n_d, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, p_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1240,18 +1477,19 @@ def _tx_cdd_kernel(cfg: GfdmConfig,
     static slicing of the same VMEM-resident core frame.
     """
     n = cfg.block_len
+    n_d = cfg.n_data_symbols
     w_len = cfg.window_len
     p_len = cfg.preamble_len
     cp, cs = cfg.cp_len, cfg.cs_len
     f_len = cfg.frame_len
     d = data_ref[:]
-    core = jnp.dot(d, tw_ref[:], preferred_element_type=jnp.float32)
+    core = _gdot(d[:, :n_d], d[:, n_d:], tw_ref, n_d)
     bb = d.shape[0]
     pre = pre_ref[:]  # (n_shifts * 2, p_len)
     win = win_ref[:]
     for si, shift in enumerate(cfg.cyclic_shifts):
         for plane in range(2):
-            c = core[:, plane * n : (plane + 1) * n]
+            c = core[plane]
             framed = jnp.concatenate(
                 [c[:, n - cp - shift :], c, c[:, : cs - shift]], axis=-1
             ) * win
@@ -1265,7 +1503,7 @@ def _tx_cdd_kernel(cfg: GfdmConfig,
 @lru_cache(maxsize=16)
 def _tx_cdd_call(cfg: GfdmConfig, batch: int, block: int, interpret: bool):
     n = cfg.block_len
-    n_d2 = 2 * cfg.n_data_symbols
+    n_d = cfg.n_data_symbols
     w_len = cfg.window_len
     p_len = cfg.preamble_len
     n_s = len(cfg.cyclic_shifts)
@@ -1276,8 +1514,8 @@ def _tx_cdd_call(cfg: GfdmConfig, batch: int, block: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((batch, out_w), jnp.float32),
         grid=(batch // block,),
         in_specs=[
-            pl.BlockSpec((block, n_d2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_d2, 2 * n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 2 * n_d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n_d, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_s * 2, p_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1307,7 +1545,7 @@ def tx_cdd_fused(cfg: GfdmConfig, data, block: int = 128,
     pre = c["preambles"].reshape(-1, cfg.preamble_len)  # (n_shifts*2, p_len)
     out = call(
         data.reshape(B, -1),
-        jnp.asarray(mats["T_W"]),
+        jnp.asarray(mats["T_G"]),
         jnp.asarray(c["win"][None, :]),
         jnp.asarray(pre),
     )
@@ -1333,7 +1571,7 @@ def tx_frame_fused(cfg: GfdmConfig, data, block: int = 128,
     call = _tx_call(cfg, B, block, shift, bool(interpret))
     out = call(
         data.reshape(B, -1),
-        jnp.asarray(mats["T_W"]),
+        jnp.asarray(mats["T_G"]),
         jnp.asarray(c["win"][None, :]),
         jnp.asarray(c["preambles"][shift_index]),
     )

@@ -23,6 +23,7 @@ __all__ = [
     "to_planar",
     "from_planar",
     "real_operator",
+    "gauss_stack",
     "pmatmul",
     "pmul",
     "pconj",
@@ -65,6 +66,24 @@ def real_operator(W, dtype=np.float32) -> np.ndarray:
     top = np.concatenate([Wr, Wi], axis=1)
     bot = np.concatenate([-Wi, Wr], axis=1)
     return np.concatenate([top, bot], axis=0)
+
+
+def gauss_stack(W, dtype=np.float32) -> np.ndarray:
+    """Complex operator as the 3-real-matmul (Gauss/Karatsuba) stack.
+
+    For y = x @ W with W (n_in, n_out) complex, real_operator() costs
+    4*n_in*n_out MXU MACs per row; Gauss's identity does it in 3:
+
+        P1 = x_re @ Wr;  P2 = x_im @ Wi;  P3 = (x_re + x_im) @ (Wr + Wi)
+        y_re = P1 - P2;  y_im = P3 - P1 - P2
+
+    Returns the (3*n_in, n_out) stack [Wr; Wi; Wr+Wi] consumed by the fused
+    Pallas kernels (25% fewer matmul FLOPs and 25% less operator VMEM than
+    the realified form).
+    """
+    W = np.asarray(W)
+    Wr, Wi = W.real.astype(dtype), W.imag.astype(dtype)
+    return np.concatenate([Wr, Wi, Wr + Wi], axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,16 @@ import numpy as np
 from ..config import GfdmConfig
 from ..ref.demodulation import ic_filter_taps as _ic_taps_ref
 from . import operators
-from .planar import pabs2, pconj, pdiv, pmatmul, pmul, real_operator, to_planar
+from .planar import (
+    gauss_stack,
+    pabs2,
+    pconj,
+    pdiv,
+    pmatmul,
+    pmul,
+    real_operator,
+    to_planar,
+)
 from .rx import qpsk_constellation
 from .sync import moving_sum
 from .tx import demap_indices
@@ -96,6 +105,13 @@ def _np_mats(cfg: GfdmConfig, dtype_name: str):
         # interference operator: time-domain form of fft -> x ic_taps -> ifft
         # (one tiny matmul per IC iteration instead of two transforms)
         "C_W": real_operator(_interference_matrix(cfg).T, dt),
+        # Gauss 3-matmul stacks for the fused Pallas kernels (25% fewer MXU
+        # FLOPs than the realified forms above, see planar.gauss_stack)
+        "T_G": gauss_stack(operators.tx_core_operator(cfg).T, dt),
+        "E_G": gauss_stack(operators.channel_estimation_operator(cfg).T, dt),
+        "F_G": gauss_stack(operators.dft_matrix(cfg.block_len).T, dt),
+        "Bfd_G": gauss_stack(operators.demodulation_fd_operator(cfg).T, dt),
+        "F2_G": gauss_stack(operators.dft_matrix(2 * K).T, dt),
     }
 
 

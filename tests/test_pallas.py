@@ -257,3 +257,15 @@ def test_rx_receiver_factored_fast_large_K():
     got_c = got[:, 0] + 1j * got[:, 1]
     assert np.all(np.sign(got_c.real) == np.sign(d.real))
     assert np.all(np.sign(got_c.imag) == np.sign(d.imag))
+
+
+def test_link_single_fused_matches_split_link():
+    """One-kernel Tx->VMEM burst->Rx link == the split two-kernel link."""
+    from gfdm_tpu.kernels.fused import link_single_fused, link_step_fused
+
+    data = _planar_payload(8, seed=90)
+    ref = link_step_fused(CFG, data, ic_iterations=2, tx_block=4, rx_block=4)
+    got = link_single_fused(CFG, data, ic_iterations=2, block=4)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-3)
+    np.testing.assert_allclose(float(got[2]), float(ref[2]), atol=1e-5)
