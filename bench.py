@@ -22,7 +22,7 @@ import numpy as np
 def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
     import jax
 
-    from gfdm_tpu.kernels.fused import link_step_fused
+    from gfdm_tpu.kernels.fused import link_single_fused
     from gfdm_tpu.ops.planar_pipeline import link_step_planar, prepare
 
     prepare(cfg)  # upload operator matrices outside the jit trace
@@ -32,10 +32,13 @@ def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
 
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if on_tpu:
-        # production path: one-kernel Pallas Tx + one-kernel Pallas receiver
-        # (1.3x the XLA dense path, identical EVM; see gfdm_tpu/kernels/fused.py)
+        # production path: ONE Pallas kernel for the whole link - the burst
+        # waveform batch stays in VMEM between the Tx and Rx chains
+        # (identical EVM to the split kernels; see gfdm_tpu/kernels/fused.py)
         step = jax.jit(
-            lambda d, s: link_step_fused(cfg, d * s, ic_iterations=ic_iterations)
+            lambda d, s: link_single_fused(
+                cfg, d * s, ic_iterations=ic_iterations, block=128
+            )
         )
     else:
         step = jax.jit(
@@ -124,7 +127,9 @@ def main():
     from gfdm_tpu import GfdmConfig
 
     cfg = GfdmConfig()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    # default sized so the ~3.5 ms per-dispatch tunnel latency is amortized
+    # (measured: 2.81 Gs/s @32k, 3.06 @64k, 3.43 @128k, 3.65 @256k)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     cpu_dt_per_frame = _bench_cpu_golden(cfg)

@@ -20,17 +20,25 @@ execution through this tunnel and identical repeated dispatches serialize
 through a result cache, so valid timings must vary the inputs AND fetch a
 result; earlier measurements that showed Pallas ~4x behind XLA were timing
 artifacts of exactly that):
-  - rx_receiver_fused (channel est + ZF + 2 IC, one VMEM pass, block=128):
-    9.4 ms vs the XLA receiver's 12.5 ms -> 1.32x.
-  - rx_core_fused (ZF core, block=64): 5.9 ms.
-  - XLA transmit: 3.4 ms (a single large matmul; fusion adds little).
-  - link_step_fused (Tx kernel + Rx kernel, SNR/CNR fused into the Rx
-    kernel): 10.5-12.3 ms run-to-run on the shared chip, best 2.35
-    Gsamples/s (3.1 Mbursts/s), EVM identical to the XLA path.
-The fused receiver is therefore the production receive path on TPU
-(receive_bursts_fused / link_step_fused); the XLA planar pipeline remains
-the reference implementation and covers the general parameter surface
-(MMSE, arbitrary constellations, phase compensation).
+  - link_single_fused (whole Tx + whole Rx in ONE kernel, the burst batch
+    never leaves VMEM, block=128): 8.76 ms = 2.81 Gsamples/s; 3.06 Gs/s at
+    batch 65536. EVM identical to the split kernels. Production loopback
+    evaluation path; bench.py uses it.
+  - link_step_fused (Tx kernel + Rx kernel via HBM): 9.5 ms after the
+    round-2 IC roll optimization (was 10.5), EVM identical to XLA.
+  - rx_receiver_fused (channel est + SNR/CNR + ZF + demod + circulant IC):
+    IC iterations cost ~1.2 ms each in VPU rolls after stacking both
+    planes per roll and doing the roll/blend traffic in exact-{-1,0,1}
+    bfloat16 (was ~1.65 ms each).
+Round-2 measured dtype rates on this virtualized chip (same (B,1152)x
+(1152,1152) kernel): f32 21.2 TF/s, bf16 27.3, int8 27.7 - only ~1.3x for
+reduced precision, so f32 stays the default; Gauss 3-matmul complex
+products (25% fewer MACs) measure as a wash against realified 4-matmul
+forms (the wider realified matmul runs at higher MXU efficiency) but halve
+operator VMEM, which is what lets the one-kernel link fit at block=128.
+The XLA planar pipeline remains the reference implementation and covers
+the general parameter surface (MMSE, arbitrary constellations, phase
+compensation).
 
 Structure-exploiting variants, both validated element-wise and kept for
 large-K configs, LOSE at the canonical K=64 size (the dense receiver runs
@@ -83,8 +91,13 @@ def _gdot(xr, xi, g_ref, n_in):
 
     g_ref holds the (3*n_in, n_out) stack [Wr; Wi; Wr+Wi] (see
     planar.gauss_stack). 3 MXU matmuls instead of the realified form's
-    equivalent 4; the extra adds are VPU-cheap.
+    equivalent 4; the extra adds are VPU-cheap. When the operator stack is
+    bfloat16 the activations are cast to match (bf16 MXU issue rate is
+    ~1.3x f32 on this chip); accumulation stays float32 either way.
     """
+    if g_ref.dtype != xr.dtype:
+        xr = xr.astype(g_ref.dtype)
+        xi = xi.astype(g_ref.dtype)
     p1 = jnp.dot(xr, g_ref[0:n_in], preferred_element_type=jnp.float32)
     p2 = jnp.dot(xi, g_ref[n_in : 2 * n_in], preferred_element_type=jnp.float32)
     p3 = jnp.dot(
@@ -1374,16 +1387,20 @@ def _demap_selection(cfg: GfdmConfig) -> np.ndarray:
 
 def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
                       block: int = 64, interpret: bool | None = None,
-                      qpsk_amp: float = 2.0**-0.5):
+                      qpsk_amp: float = 2.0**-0.5, dtype_name: str = "float32"):
     """One-kernel end-to-end link: payload -> Tx -> VMEM burst -> Rx -> data.
 
     data: (B, 2, n_data) planar payload. Returns (data_hat (B, 2, n_data),
     snr_lin (B,), evm scalar) - the link_step_fused contract, with the burst
     waveform batch (2*frame_len floats per burst) never leaving VMEM.
+
+    dtype_name="bfloat16" runs the Gauss matmul stacks in bf16 (f32
+    accumulation, all elementwise stages f32): ~0.4% operator rounding
+    noise, far below the 1.9% matched-filter self-interference EVM floor.
     """
     if interpret is None:
         interpret = not _on_tpu()
-    mats = _device_mats(cfg, "float32")
+    mats = _device_mats(cfg, dtype_name)
     c = _small_consts(cfg, "float32")
     n = cfg.block_len
     n_d = cfg.n_data_symbols
