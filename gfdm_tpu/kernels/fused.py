@@ -106,6 +106,28 @@ def _gdot(xr, xi, g_ref, n_in):
     return p1 - p2, p3 - p1 - p2
 
 
+# IC decision functions: integer per-axis levels (exact in bf16) + the
+# amplitude unit folded into the circulant tap constants. "qam16" is the
+# per-axis quantizer equivalent to nearest-point on the Gray 16-QAM grid
+# (ref.symbolmapping.constellation(4)).
+_IC_AMPS = {"qpsk": 2.0**-0.5, "qam16": 10.0**-0.5}
+
+
+def _ic_decide(dr, di, kind: str):
+    if kind == "qpsk":
+        return jnp.where(dr >= 0, 1.0, -1.0), jnp.where(di >= 0, 1.0, -1.0)
+    if kind == "qam16":
+        s = float(np.sqrt(10.0))
+
+        def q(u):
+            return jnp.clip(
+                2.0 * jnp.round((u * s - 1.0) / 2.0) + 1.0, -3.0, 3.0
+            )
+
+        return q(dr), q(di)
+    raise ValueError(f"unknown IC constellation {kind!r}")
+
+
 # ---------------------------------------------------------------------------
 # fused receiver core: block FFT -> ZF divide -> fold/demod, one VMEM pass
 # ---------------------------------------------------------------------------
@@ -310,6 +332,7 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
 # fused ZF + IC receiver, circulant IC (fast native path)
 # ---------------------------------------------------------------------------
 def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                       dec_kind: str,
                        c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                        frame_ref, e_ref, fw_ref, bfd_ref, f2_ref, sel_ref,
                        act_ref, mlt_ref, chan_ref, out_ref, met_ref):
@@ -384,10 +407,8 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     bb = d0r.shape[0]
     dr, di = d0r, d0i
     for _ in range(ic_iterations):
-        h2 = jnp.concatenate(
-            [jnp.where(dr >= 0, 1.0, -1.0), jnp.where(di >= 0, 1.0, -1.0)],
-            axis=0,
-        )
+        qr, qi = _ic_decide(dr, di, dec_kind)
+        h2 = jnp.concatenate([qr, qi], axis=0)
         h2 = (h2 * act).astype(jnp.bfloat16)
         n2 = groll(h2, M) + groll(h2, -M)
         ir = jnp.zeros_like(d0r)
@@ -407,7 +428,8 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
 
 @lru_cache(maxsize=16)
 def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
-                     ic_iterations: int, qpsk_amp: float, interpret: bool):
+                     ic_iterations: int, qpsk_amp: float, dec_kind: str,
+                     interpret: bool):
     from ..ops import operators as _ops
     from ..ref.demodulation import ic_filter_taps as _ic
 
@@ -426,7 +448,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
     c_col = Cmat[:, 0]  # c[j] multiplies v rotated by j
     n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
-        _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp,
+        _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp, dec_kind,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
         n_cnr,
@@ -491,7 +513,8 @@ def _circ_masks(cfg: GfdmConfig):
 
 def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                       block: int = 128, interpret: bool | None = None,
-                      qpsk_amp: float = 2.0**-0.5):
+                      qpsk_amp: float | None = None,
+                      constellation: str = "qpsk"):
     """Whole receiver core (channel est + SNR/CNR + ZF + demod + circulant
     IC) in one VMEM pass.
 
@@ -512,8 +535,9 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     block = min(block, B)
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of block {block}")
-    call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
-                            bool(interpret))
+    amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)
+    call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), amp,
+                            str(constellation), bool(interpret))
     chan, out, met = call(
         bursts.reshape(B, -1),
         jnp.asarray(mats["E_G"]),
@@ -802,21 +826,23 @@ def _factored_demod_body(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
         d0r = d0r + cr_ * rr - ci_ * ri
         d0i = d0i + cr_ * ri + ci_ * rr
 
-    # --- decision-directed IC (circulant form, unchanged) ------------------
+    # --- decision-directed IC (circulant form, roll-optimized: stacked
+    # planes + exact {-1,0,1} bf16 roll traffic, see _rx_ic_circ_kernel) ----
     act = act_ref[:]
     a = qpsk_amp
+    bb = d0r.shape[0]
     dr, di = d0r, d0i
     for _ in range(ic_iterations):
-        hr = jnp.where(dr >= 0, a, -a) * act
-        hi = jnp.where(di >= 0, a, -a) * act
-        nr = groll(hr, M) + groll(hr, -M)
-        ni = groll(hi, M) + groll(hi, -M)
-        ir = jnp.zeros_like(nr)
-        ii = jnp.zeros_like(ni)
+        qr, qi = _ic_decide(dr, di, "qpsk")
+        h2 = jnp.concatenate([qr, qi], axis=0)
+        h2 = (h2 * act).astype(jnp.bfloat16)
+        n2_ = groll(h2, M) + groll(h2, -M)
+        ir = jnp.zeros_like(d0r)
+        ii = jnp.zeros_like(d0i)
         for j in range(M):
-            sr = block_rot(nr, j)
-            si = block_rot(ni, j)
-            cr_, ci_ = c_taps_r[j], c_taps_i[j]
+            s2 = block_rot(n2_, j).astype(jnp.float32)
+            sr, si = s2[:bb], s2[bb:]
+            cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
             ir = ir + cr_ * sr - ci_ * si
             ii = ii + cr_ * si + ci_ * sr
         dr = d0r - ir
@@ -986,18 +1012,19 @@ def _rx_hybrid_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
 
     act = act_ref[:]
     a = qpsk_amp
+    bb = d0r.shape[0]
     dr, di = d0r, d0i
     for _ in range(ic_iterations):
-        hr = jnp.where(dr >= 0, a, -a) * act
-        hi = jnp.where(di >= 0, a, -a) * act
-        nr = groll(hr, M) + groll(hr, -M)
-        ni = groll(hi, M) + groll(hi, -M)
-        ir = jnp.zeros_like(nr)
-        ii = jnp.zeros_like(ni)
+        qr, qi = _ic_decide(dr, di, "qpsk")
+        h2 = jnp.concatenate([qr, qi], axis=0)
+        h2 = (h2 * act).astype(jnp.bfloat16)
+        n2_ = groll(h2, M) + groll(h2, -M)
+        ir = jnp.zeros_like(d0r)
+        ii = jnp.zeros_like(d0i)
         for j in range(M):
-            sr = block_rot(nr, j)
-            si = block_rot(ni, j)
-            cr_, ci_ = c_taps_r[j], c_taps_i[j]
+            s2 = block_rot(n2_, j).astype(jnp.float32)
+            sr, si = s2[:bb], s2[bb:]
+            cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
             ir = ir + cr_ * sr - ci_ * si
             ii = ii + cr_ * si + ci_ * sr
         dr = d0r - ir
@@ -1168,7 +1195,8 @@ def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
 # production composites: fused receiver + thin XLA metric/demap epilogue
 # ---------------------------------------------------------------------------
 def receive_bursts_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
-                         block: int = 128, interpret: bool | None = None):
+                         block: int = 128, interpret: bool | None = None,
+                         constellation: str = "qpsk"):
     """Production TPU receive path: one-kernel receiver + XLA epilogue.
 
     bursts: (B, 2, frame_len) planar, aligned at the full-preamble start.
@@ -1181,7 +1209,7 @@ def receive_bursts_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
 
     chan, symbols, met = rx_receiver_fused(
         cfg, bursts, ic_iterations=ic_iterations, block=block,
-        interpret=interpret,
+        interpret=interpret, constellation=constellation,
     )
     n_cnr, _ = _met_layout(cfg)
     data = jnp.take(symbols, jnp.asarray(demap_indices(cfg)), axis=-1)
@@ -1216,6 +1244,7 @@ def link_step_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
 # fully fused loopback link: Tx -> burst (VMEM) -> receiver in ONE kernel
 # ---------------------------------------------------------------------------
 def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
+                 dec_kind: str,
                  c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                  data_ref, tw_ref, win_ref, pre_ref, e_ref, fw_ref, bfd_ref,
                  f2_ref, sel_ref, act_ref, mlt_ref, dsel_ref,
@@ -1295,10 +1324,8 @@ def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     # roll-optimized IC loop (see _rx_ic_circ_kernel for the layout notes)
     dr, di = d0r, d0i
     for _ in range(ic_iterations):
-        h2 = jnp.concatenate(
-            [jnp.where(dr >= 0, 1.0, -1.0), jnp.where(di >= 0, 1.0, -1.0)],
-            axis=0,
-        )
+        qr, qi = _ic_decide(dr, di, dec_kind)
+        h2 = jnp.concatenate([qr, qi], axis=0)
         h2 = (h2 * act).astype(jnp.bfloat16)
         n2 = groll(h2, M) + groll(h2, -M)
         ir = jnp.zeros_like(d0r)
@@ -1320,7 +1347,7 @@ def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
 
 @lru_cache(maxsize=16)
 def _link_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
-               qpsk_amp: float, interpret: bool):
+               qpsk_amp: float, dec_kind: str, interpret: bool):
     from ..ops import operators as _ops
     from ..ref.demodulation import ic_filter_taps as _ic
 
@@ -1338,7 +1365,7 @@ def _link_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
     c_col = Cmat[:, 0]
     n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
-        _link_kernel, cfg, ic_iterations, qpsk_amp,
+        _link_kernel, cfg, ic_iterations, qpsk_amp, dec_kind,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
         n_cnr,
@@ -1387,7 +1414,9 @@ def _demap_selection(cfg: GfdmConfig) -> np.ndarray:
 
 def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
                       block: int = 64, interpret: bool | None = None,
-                      qpsk_amp: float = 2.0**-0.5, dtype_name: str = "float32"):
+                      qpsk_amp: float | None = None,
+                      dtype_name: str = "float32",
+                      constellation: str = "qpsk"):
     """One-kernel end-to-end link: payload -> Tx -> VMEM burst -> Rx -> data.
 
     data: (B, 2, n_data) planar payload. Returns (data_hat (B, 2, n_data),
@@ -1411,8 +1440,9 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
     block = min(block, B)
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of block {block}")
-    call = _link_call(cfg, B, block, int(ic_iterations), float(qpsk_amp),
-                      bool(interpret))
+    amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)
+    call = _link_call(cfg, B, block, int(ic_iterations), amp,
+                      str(constellation), bool(interpret))
     n_cnr, _ = _met_layout(cfg)
     out, met = call(
         data.reshape(B, -1),

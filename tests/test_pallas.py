@@ -269,3 +269,29 @@ def test_link_single_fused_matches_split_link():
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-3)
     np.testing.assert_allclose(float(got[2]), float(ref[2]), atol=1e-5)
+
+
+def test_rx_receiver_fused_qam16_matches_xla():
+    """Fused receiver's per-axis 16-QAM IC decisions == XLA nearest-point."""
+    from gfdm_tpu.kernels.fused import rx_receiver_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+    from gfdm_tpu.ref.symbolmapping import bits_to_symbols, constellation
+
+    rng = np.random.default_rng(17)
+    pts = constellation(4)
+    d = np.stack([
+        bits_to_symbols(rng.integers(0, 2, 4 * CFG.n_data_symbols), pts)
+        for _ in range(8)
+    ]).astype(np.complex64)
+    data = jnp.asarray(pl_ops.to_planar(d))
+    bursts = transmit_planar(CFG, data)[:, 0]
+    ref = receive_bursts_planar(
+        CFG, bursts, ic_iterations=2, constellation=pts
+    )
+    _chan, got, _met = rx_receiver_fused(
+        CFG, bursts, ic_iterations=2, block=4, constellation="qam16"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape),
+        atol=2e-3,
+    )
