@@ -332,7 +332,7 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
 # fused ZF + IC receiver, circulant IC (fast native path)
 # ---------------------------------------------------------------------------
 def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
-                       dec_kind: str,
+                       dec_kind: str, phase_comp: bool,
                        c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                        frame_ref, e_ref, fw_ref, bfd_ref, f2_ref, sel_ref,
                        act_ref, mlt_ref, chan_ref, out_ref, met_ref):
@@ -386,6 +386,21 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     act = act_ref[:]
     a = qpsk_amp
 
+    dec0_r, dec0_i = d0r, d0i  # iteration-0 decisions use the UNROTATED
+    # symbols (advanced_receiver_kernel_cc.cc:56-76: decide, then estimate
+    # and apply the phase, then cancel with those same decisions)
+    if phase_comp and ic_iterations > 0:
+        # one-shot common-phase-offset correction of the demodulated state
+        # (advanced_receiver_kernel_cc.cc:61-91): arithmetic mean of
+        # (decided - received) angles over active entries, then rotate.
+        qr, qi = _ic_decide(d0r, d0i, dec_kind)
+        a_h = jnp.arctan2(qi, qr)
+        a_d = jnp.arctan2(d0i, d0r)
+        n_act = float(cfg.subcarrier_map.size * cfg.timeslots)
+        phi = jnp.sum((a_h - a_d) * act, axis=-1, keepdims=True) / n_act
+        cph, sph = jnp.cos(phi), jnp.sin(phi)
+        d0r, d0i = cph * d0r - sph * d0i, sph * d0r + cph * d0i
+
     def groll(v, shift):
         shift = shift % n
         if shift == 0:
@@ -405,7 +420,7 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     # zero numerical loss - +-1/0, their pairwise sums, and all rotations
     # are exactly representable and bf16 -> f32 promotion is exact.
     bb = d0r.shape[0]
-    dr, di = d0r, d0i
+    dr, di = dec0_r, dec0_i
     for _ in range(ic_iterations):
         qr, qi = _ic_decide(dr, di, dec_kind)
         h2 = jnp.concatenate([qr, qi], axis=0)
@@ -429,7 +444,7 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
 @lru_cache(maxsize=16)
 def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
                      ic_iterations: int, qpsk_amp: float, dec_kind: str,
-                     interpret: bool):
+                     phase_comp: bool, interpret: bool):
     from ..ops import operators as _ops
     from ..ref.demodulation import ic_filter_taps as _ic
 
@@ -449,6 +464,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
     n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
         _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp, dec_kind,
+        phase_comp,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
         n_cnr,
@@ -514,7 +530,8 @@ def _circ_masks(cfg: GfdmConfig):
 def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                       block: int = 128, interpret: bool | None = None,
                       qpsk_amp: float | None = None,
-                      constellation: str = "qpsk"):
+                      constellation: str = "qpsk",
+                      phase_compensation: bool = False):
     """Whole receiver core (channel est + SNR/CNR + ZF + demod + circulant
     IC) in one VMEM pass.
 
@@ -537,7 +554,8 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
         raise ValueError(f"batch {B} must be a multiple of block {block}")
     amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)
     call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), amp,
-                            str(constellation), bool(interpret))
+                            str(constellation), bool(phase_compensation),
+                            bool(interpret))
     chan, out, met = call(
         bursts.reshape(B, -1),
         jnp.asarray(mats["E_G"]),

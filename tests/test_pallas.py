@@ -295,3 +295,44 @@ def test_rx_receiver_fused_qam16_matches_xla():
         np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape),
         atol=2e-3,
     )
+
+
+def test_rx_receiver_fused_phase_compensation_matches_xla():
+    """Fused one-shot common-phase-offset correction == XLA ic_receiver."""
+    from gfdm_tpu.kernels.fused import rx_receiver_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=110)
+    bursts = np.asarray(transmit_planar(CFG, data)[:, 0])
+    # rotate only the data section by a common phase offset: a whole-burst
+    # rotation would be absorbed by the preamble channel estimate + ZF, so
+    # this is the residual-CPO case set_phase_compensation targets
+    phi = 0.1
+    c, s = np.cos(phi), np.sin(phi)
+    rot = bursts.copy()
+    p = CFG.preamble_len
+    rot[:, 0, p:] = c * bursts[:, 0, p:] - s * bursts[:, 1, p:]
+    rot[:, 1, p:] = s * bursts[:, 0, p:] + c * bursts[:, 1, p:]
+    rot = rot.astype(np.float32)
+    ref = receive_bursts_planar(
+        CFG, jnp.asarray(rot), ic_iterations=2, phase_compensation=True
+    )
+    _chan, got, _met = rx_receiver_fused(
+        CFG, jnp.asarray(rot), ic_iterations=2, block=4, phase_compensation=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape),
+        atol=2e-3,
+    )
+    # and the correction genuinely matters: without it the symbols stay
+    # rotated by ~phi
+    _c2, got_off, _m2 = rx_receiver_fused(
+        CFG, jnp.asarray(rot), ic_iterations=2, block=4,
+        phase_compensation=False
+    )
+    from gfdm_tpu.ops.tx import demap_indices
+
+    idx = np.asarray(demap_indices(CFG))
+    err_on = np.abs(np.asarray(got)[..., idx] - np.asarray(data)).max()
+    err_off = np.abs(np.asarray(got_off)[..., idx] - np.asarray(data)).max()
+    assert err_off > 2 * err_on
