@@ -390,15 +390,25 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     # symbols (advanced_receiver_kernel_cc.cc:56-76: decide, then estimate
     # and apply the phase, then cancel with those same decisions)
     if phase_comp and ic_iterations > 0:
-        # one-shot common-phase-offset correction of the demodulated state
+        # One-shot common-phase-offset correction of the demodulated state
         # (advanced_receiver_kernel_cc.cc:61-91): arithmetic mean of
-        # (decided - received) angles over active entries, then rotate.
+        # angle(decided * conj(received)) over active entries, then rotate.
+        # Mosaic has no atan2/sin/cos lowering, so use small-argument
+        # polynomials: nearest-point decisions bound the per-entry angle
+        # difference to ~pi/4, where the A&S 4.4.49 arctan fit is ~1e-5
+        # accurate, and |phi| <= pi/4 keeps the sin/cos Taylor tails < 1e-8.
         qr, qi = _ic_decide(d0r, d0i, dec_kind)
-        a_h = jnp.arctan2(qi, qr)
-        a_d = jnp.arctan2(d0i, d0r)
+        re_ = qr * d0r + qi * d0i
+        im_ = qi * d0r - qr * d0i
+        t = jnp.clip(im_ / jnp.maximum(re_, 1e-20), -1.0, 1.0)
+        t2 = t * t
+        delta = t * (0.9998660 + t2 * (-0.3302995 + t2 * (0.1801410
+                     + t2 * (-0.0851330 + 0.0208351 * t2))))
         n_act = float(cfg.subcarrier_map.size * cfg.timeslots)
-        phi = jnp.sum((a_h - a_d) * act, axis=-1, keepdims=True) / n_act
-        cph, sph = jnp.cos(phi), jnp.sin(phi)
+        phi = jnp.sum(delta * act, axis=-1, keepdims=True) / n_act
+        p2 = phi * phi
+        cph = 1.0 - p2 * (0.5 - p2 * (1.0 / 24.0 - p2 / 720.0))
+        sph = phi * (1.0 - p2 * (1.0 / 6.0 - p2 * (1.0 / 120.0 - p2 / 5040.0)))
         d0r, d0i = cph * d0r - sph * d0i, sph * d0r + cph * d0i
 
     def groll(v, shift):
@@ -549,6 +559,8 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     for k in cfg.subcarrier_map:
         active[0, k * cfg.timeslots : (k + 1) * cfg.timeslots] = 1.0
     B = bursts.shape[0]
+    if phase_compensation:
+        block = min(block, 64)  # CPO temporaries push block=128 ~40K over VMEM
     block = min(block, B)
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of block {block}")
