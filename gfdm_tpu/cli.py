@@ -219,9 +219,56 @@ def cmd_tx(args: argparse.Namespace) -> int:
     return 0
 
 
+def rx_udp(port: int, timeout_s: float = 30.0,
+           max_samples: int = 1 << 24) -> np.ndarray:
+    """Receive an sc16 IQ stream from UDP datagrams on 127.0.0.1:``port``.
+
+    The native ingest thread (gfdm_tpu.native.UdpIngest) converts and
+    buffers without Python in the loop — the UHD/VITA-49 recv-thread
+    analogue of the reference's OTA demo source (examples/
+    gfdm_ota_demo.grc uhd_usrp_source). A zero-length datagram marks
+    end-of-stream; otherwise capture stops after ``timeout_s``.
+    """
+    import time
+
+    from . import native
+
+    if not native.available():
+        raise RuntimeError("native runtime unavailable (make -C native)")
+    chunk = 4096
+    sb = native.StreamBuffer(capacity=max_samples + 2 * chunk,
+                             chunk_len=chunk, halo=0)
+    ing = native.UdpIngest(port, sb)
+    deadline = time.monotonic() + timeout_s
+    while ing.running and time.monotonic() < deadline:
+        time.sleep(0.01)
+    ing.stop()
+    n = ing.finish()
+    # flush the ring's final partial chunk with zero padding so every
+    # received sample sits in a complete pullable chunk
+    sb.push(np.zeros((2, chunk), np.float32))
+    parts = []
+    while True:
+        chunks, _base = sb.pull(64)
+        if chunks.size == 0:
+            break
+        parts.append(chunks[:, 0, :chunk] + 1j * chunks[:, 1, :chunk])
+    stream = (np.concatenate(parts).reshape(-1)[:n]
+              if parts else np.zeros(0, np.complex64))
+    return stream.astype(np.complex64)
+
+
 def cmd_rx(args: argparse.Namespace) -> int:
     cfg = build_config(args)
-    stream = _read_iq(args.infile, args.iq_format)
+    if args.udp_port is not None:
+        stream = rx_udp(args.udp_port, timeout_s=args.udp_timeout)
+        print(f"captured {stream.size} samples from udp:{args.udp_port}",
+              file=sys.stderr)
+    elif args.infile:
+        stream = _read_iq(args.infile, args.iq_format)
+    else:
+        print("rx: one of --infile or --udp-port is required", file=sys.stderr)
+        return 2
     payload, stats = rx_file(cfg, stream, ic_iterations=args.ic)
     if args.outfile == "-":
         sys.stdout.buffer.write(payload)
@@ -339,12 +386,17 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--scale", type=float, default=0.7)
     pt.set_defaults(fn=cmd_tx)
 
-    pr = sub.add_parser("rx", help="IQ sample file -> recovered bytes")
+    pr = sub.add_parser("rx", help="IQ sample file (or UDP) -> recovered bytes")
     add_config_args(pr)
-    pr.add_argument("--infile", required=True, help="IQ input file")
+    pr.add_argument("--infile", help="IQ input file")
     pr.add_argument("--outfile", required=True, help="payload output ('-' = stdout)")
     pr.add_argument("--iq-format", choices=("cf32", "sc16"), default="cf32")
     pr.add_argument("--ic", type=int, default=2, help="IC iterations")
+    pr.add_argument("--udp-port", type=int, default=None,
+                    help="receive sc16 IQ datagrams on 127.0.0.1:PORT instead "
+                         "of reading --infile (end capture with an empty "
+                         "datagram or after --udp-timeout seconds)")
+    pr.add_argument("--udp-timeout", type=float, default=30.0)
     pr.set_defaults(fn=cmd_rx)
 
     ps = sub.add_parser("simulate", help="loopback link through a simulated channel")

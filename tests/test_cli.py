@@ -110,3 +110,48 @@ def test_info_json(capsys):
     assert info["payload_bytes_per_burst"] == payload_capacity_bytes(
         GfdmConfig().n_data_symbols
     )
+
+
+def test_rx_udp_live_capture(cfg, tmp_path):
+    """Live UDP receive mode: sender thread blasts the tx IQ stream as sc16
+    datagrams; rx recovers the payload (the OTA-demo analogue)."""
+    import socket
+    import threading
+    import time
+
+    from gfdm_tpu import native
+    from gfdm_tpu.utils.converter import cf64_to_sc16
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(21)
+    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    payload = rng.integers(0, 256, 2 * cap, dtype=np.uint8).tobytes()
+    stream = tx_file(cfg, payload)
+    raw = cf64_to_sc16(stream.astype(np.complex128))
+    port = 47411
+
+    def send():
+        time.sleep(0.3)  # let the receiver bind
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        step = 2 * 512
+        for i in range(0, raw.size, step):
+            s.sendto(raw[i : i + step].tobytes(), ("127.0.0.1", port))
+            time.sleep(0.001)
+        s.sendto(b"", ("127.0.0.1", port))
+        s.close()
+
+    t = threading.Thread(target=send)
+    t.start()
+    out = tmp_path / "udp_out.bin"
+    rc = main(["rx", "--udp-port", str(port), "--udp-timeout", "15",
+               "--outfile", str(out)])
+    t.join()
+    assert rc == 0
+    assert out.read_bytes() == payload
+
+    # neither source given -> usage error
+    assert main(["rx", "--outfile", str(out)]) == 2
