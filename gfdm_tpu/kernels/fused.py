@@ -332,7 +332,7 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
 # fused ZF + IC receiver, circulant IC (fast native path)
 # ---------------------------------------------------------------------------
 def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
-                       dec_kind: str, phase_comp: bool,
+                       dec_kind: str, phase_comp: bool, equalizer: str,
                        c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                        frame_ref, e_ref, fw_ref, bfd_ref, f2_ref, sel_ref,
                        act_ref, mlt_ref, chan_ref, out_ref, met_ref):
@@ -382,6 +382,15 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     den = jnp.maximum(Chr * Chr + Chi * Chi, 1e-30)
     Yr = (Xr * Chr + Xi * Chi) / den
     Yi = (Xi * Chr - Xr * Chi) / den
+    if equalizer == "mmse":
+        # per-bin MMSE shrinkage of the ZF bin, w = |C|^2/(|C|^2 + 1/snr),
+        # using the snr_lin estimate already produced in this kernel (same
+        # formula as the XLA path, planar_pipeline equalizer="mmse")
+        w = den / (den + 1.0 / jnp.maximum(snr_lin, 1e-6))
+        Yr = Yr * w
+        Yi = Yi * w
+    elif equalizer != "zf":
+        raise ValueError(f"unknown equalizer {equalizer!r}")
     d0r, d0i = _gdot(Yr, Yi, bfd_ref, n)
     act = act_ref[:]
     a = qpsk_amp
@@ -454,7 +463,7 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
 @lru_cache(maxsize=16)
 def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
                      ic_iterations: int, qpsk_amp: float, dec_kind: str,
-                     phase_comp: bool, interpret: bool):
+                     phase_comp: bool, equalizer: str, interpret: bool):
     from ..ops import operators as _ops
     from ..ref.demodulation import ic_filter_taps as _ic
 
@@ -474,7 +483,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
     n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
         _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp, dec_kind,
-        phase_comp,
+        phase_comp, equalizer,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
         n_cnr,
@@ -541,7 +550,8 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                       block: int = 128, interpret: bool | None = None,
                       qpsk_amp: float | None = None,
                       constellation: str = "qpsk",
-                      phase_compensation: bool = False):
+                      phase_compensation: bool = False,
+                      equalizer: str = "zf"):
     """Whole receiver core (channel est + SNR/CNR + ZF + demod + circulant
     IC) in one VMEM pass.
 
@@ -567,7 +577,7 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)
     call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), amp,
                             str(constellation), bool(phase_compensation),
-                            bool(interpret))
+                            str(equalizer), bool(interpret))
     chan, out, met = call(
         bursts.reshape(B, -1),
         jnp.asarray(mats["E_G"]),
@@ -1226,7 +1236,8 @@ def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
 # ---------------------------------------------------------------------------
 def receive_bursts_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                          block: int = 128, interpret: bool | None = None,
-                         constellation: str = "qpsk"):
+                         constellation: str = "qpsk",
+                         equalizer: str = "zf"):
     """Production TPU receive path: one-kernel receiver + XLA epilogue.
 
     bursts: (B, 2, frame_len) planar, aligned at the full-preamble start.
@@ -1240,6 +1251,7 @@ def receive_bursts_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     chan, symbols, met = rx_receiver_fused(
         cfg, bursts, ic_iterations=ic_iterations, block=block,
         interpret=interpret, constellation=constellation,
+        equalizer=equalizer,
     )
     n_cnr, _ = _met_layout(cfg)
     data = jnp.take(symbols, jnp.asarray(demap_indices(cfg)), axis=-1)

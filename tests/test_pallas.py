@@ -336,3 +336,26 @@ def test_rx_receiver_fused_phase_compensation_matches_xla():
     err_on = np.abs(np.asarray(got)[..., idx] - np.asarray(data)).max()
     err_off = np.abs(np.asarray(got_off)[..., idx] - np.asarray(data)).max()
     assert err_off > 2 * err_on
+
+
+def test_rx_receiver_fused_mmse_matches_xla():
+    """Fused per-bin MMSE shrinkage == XLA equalizer='mmse' at low SNR."""
+    import jax
+
+    from gfdm_tpu.kernels.fused import rx_receiver_fused
+    from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
+
+    data = _planar_payload(8, seed=130)
+    bursts = np.asarray(transmit_planar(CFG, data)[:, 0])
+    rng = np.random.default_rng(5)
+    bursts = bursts + 0.05 * rng.standard_normal(bursts.shape).astype(np.float32)
+    ref = receive_bursts_planar(
+        CFG, jnp.asarray(bursts), ic_iterations=2, equalizer="mmse"
+    )
+    _chan, got, _met = rx_receiver_fused(
+        CFG, jnp.asarray(bursts), ic_iterations=2, block=4, equalizer="mmse"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape),
+        atol=2e-3,
+    )
