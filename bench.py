@@ -44,19 +44,21 @@ def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
         step = jax.jit(
             lambda d, s: link_step_planar(cfg, d * s, ic_iterations=ic_iterations)
         )
-    one = jnp_scalar = jax.device_put(np.float32(1.0))
+    one = jax.device_put(np.float32(1.0))
     out = step(data, one)
-    jax.block_until_ready(out)  # compile + warmup
+    np.asarray(out[2])  # compile + warmup, fetch-forced
 
-    # vary the input each iteration: identical dispatches can be served from
-    # a result cache in this stack, which would fake the steady-state number
+    # vary the input each iteration (identical dispatches can be served from
+    # a result cache in this stack) AND fetch a result INSIDE the timed
+    # region: block_until_ready does not force execution through this
+    # backend's tunnel, so without the fetch the loop only measures dispatch
+    # queueing (measured: a 5 ms kernel reads as 0.05 ms without the fetch)
     scales = [jax.device_put(np.float32(1.0 + 1e-6 * i)) for i in range(iters)]
     t0 = time.perf_counter()
     for i in range(iters):
         out = step(data, scales[i])
-    jax.block_until_ready(out)
+    evm = float(np.asarray(out[2]))  # scalar fetch drains the serial queue
     dt = (time.perf_counter() - t0) / iters
-    evm = float(np.asarray(out[2]))
     return dt, evm
 
 
