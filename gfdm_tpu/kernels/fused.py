@@ -21,15 +21,21 @@ through a result cache, so valid timings must vary the inputs AND fetch a
 result; earlier measurements that showed Pallas ~4x behind XLA were timing
 artifacts of exactly that):
   - link_single_fused (whole Tx + whole Rx in ONE kernel, the burst batch
-    never leaves VMEM, block=128): 8.76 ms = 2.81 Gsamples/s; 3.06 Gs/s at
-    batch 65536. EVM identical to the split kernels. Production loopback
-    evaluation path; bench.py uses it.
-  - link_step_fused (Tx kernel + Rx kernel via HBM): 9.5 ms after the
-    round-2 IC roll optimization (was 10.5), EVM identical to XLA.
+    never leaves VMEM, block=128): 9.2 ms fetch-forced at batch 32768;
+    53.4 ms at batch 262144 = 3.69 Gsamples/s / 4.9 Mbursts/s (the ~3.5 ms
+    per-dispatch tunnel latency amortizes with batch). EVM identical to
+    the split kernels. Production loopback evaluation path; bench.py.
   - rx_receiver_fused (channel est + SNR/CNR + ZF + demod + circulant IC):
-    IC iterations cost ~1.2 ms each in VPU rolls after stacking both
-    planes per roll and doing the roll/blend traffic in exact-{-1,0,1}
-    bfloat16 (was ~1.65 ms each).
+    6.64 ms at ic=0, 8.46 ms at ic=2 -> 0.91 ms per IC iteration after
+    stacking both planes per roll and carrying decisions as exact
+    {-1,0,+1} (x level) bfloat16. Mosaic fuses the conv's elementwise
+    chains - rolls themselves are nearly free (20 full-batch rolls
+    measure ~1.3 ms standalone), so further IC micro-optimization has
+    little headroom.
+  - TIMING METHODOLOGY (round 2 correction): block_until_ready does NOT
+    force execution through this backend's tunnel - a 5 ms kernel reads
+    as 0.05 ms without a fetch. Valid timings vary the inputs AND fetch a
+    result inside the timed region (bench.py does both).
 Round-2 measured dtype rates on this virtualized chip (same (B,1152)x
 (1152,1152) kernel): f32 21.2 TF/s, bf16 27.3, int8 27.7 - only ~1.3x for
 reduced precision, so f32 stays the default; Gauss 3-matmul complex
