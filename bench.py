@@ -35,9 +35,14 @@ def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
         # production path: ONE Pallas kernel for the whole link - the burst
         # waveform batch stays in VMEM between the Tx and Rx chains
         # (identical EVM to the split kernels; see gfdm_tpu/kernels/fused.py)
+        # ic_mode="matmul": the whole interference operator as one bf16
+        # Gauss matmul triple per IC iteration (EVM identical to the exact
+        # f32 conv IC at 4 decimals; the bf16 rounding perturbs a -20 dB
+        # correction term by -68 dB)
         step = jax.jit(
             lambda d, s: link_single_fused(
-                cfg, d * s, ic_iterations=ic_iterations, block=128
+                cfg, d * s, ic_iterations=ic_iterations, block=128,
+                ic_mode="matmul",
             )
         )
     else:

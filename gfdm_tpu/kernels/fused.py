@@ -339,9 +339,10 @@ def rx_ic_fused(cfg: GfdmConfig, frames, channel, ic_iterations: int = 2,
 # ---------------------------------------------------------------------------
 def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
                        dec_kind: str, phase_comp: bool, equalizer: str,
+                       ic_mode: str,
                        c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                        frame_ref, e_ref, fw_ref, bfd_ref, f2_ref, sel_ref,
-                       act_ref, mlt_ref, chan_ref, out_ref, met_ref):
+                       act_ref, icop_ref, chan_ref, out_ref, met_ref):
     """ZF + IC with the interference operator applied as a per-block
     circular convolution.
 
@@ -436,40 +437,80 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
         # within-block rotation by j: w[kM+m] = v[kM + (m-j) mod M]
         if j == 0:
             return v
-        return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
+        return jnp.where(icop_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
 
-    # IC loop, roll-optimized: (a) both planes stacked along sublanes so
-    # every circular roll moves one (2*Bb, N) array instead of two; (b) the
-    # stacked decisions are EXACT bf16 {-1, 0, +1} (the QPSK amplitude is
-    # folded into the tap constants), halving roll/blend byte traffic with
-    # zero numerical loss - +-1/0, their pairwise sums, and all rotations
-    # are exactly representable and bf16 -> f32 promotion is exact.
     bb = d0r.shape[0]
     dr, di = dec0_r, dec0_i
-    for _ in range(ic_iterations):
-        qr, qi = _ic_decide(dr, di, dec_kind)
-        h2 = jnp.concatenate([qr, qi], axis=0)
-        h2 = (h2 * act).astype(jnp.bfloat16)
-        n2 = groll(h2, M) + groll(h2, -M)
-        ir = jnp.zeros_like(d0r)
-        ii = jnp.zeros_like(d0i)
-        for j in range(M):
-            s2 = block_rot(n2, j).astype(jnp.float32)
-            sr, si = s2[:bb], s2[bb:]
-            cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
-            ir = ir + cr_ * sr - ci_ * si
-            ii = ii + cr_ * si + ci_ * sr
-        dr = d0r - ir
-        di = d0i - ii
+    if ic_mode == "matmul":
+        # the whole interference operator (neighbor shifts + circulant
+        # taps, amplitude folded in) as ONE Gauss matmul triple per
+        # iteration - icop_ref holds the bf16 (3N, N) stack; decisions are
+        # exact bf16 integer levels
+        for _ in range(ic_iterations):
+            qr, qi = _ic_decide(dr, di, dec_kind)
+            ir, ii = _gdot(qr * act, qi * act, icop_ref, n)
+            dr = d0r - ir
+            di = d0i - ii
+    else:
+        # IC loop, roll-optimized: (a) both planes stacked along sublanes
+        # so every circular roll moves one (2*Bb, N) array instead of two;
+        # (b) the stacked decisions are EXACT bf16 {-1, 0, +1} (the QPSK
+        # amplitude is folded into the tap constants), halving roll/blend
+        # byte traffic with zero numerical loss - +-1/0, their pairwise
+        # sums, and all rotations are exactly representable and
+        # bf16 -> f32 promotion is exact.
+        for _ in range(ic_iterations):
+            qr, qi = _ic_decide(dr, di, dec_kind)
+            h2 = jnp.concatenate([qr, qi], axis=0)
+            h2 = (h2 * act).astype(jnp.bfloat16)
+            n2 = groll(h2, M) + groll(h2, -M)
+            ir = jnp.zeros_like(d0r)
+            ii = jnp.zeros_like(d0i)
+            for j in range(M):
+                s2 = block_rot(n2, j).astype(jnp.float32)
+                sr, si = s2[:bb], s2[bb:]
+                cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
+                ir = ir + cr_ * sr - ci_ * si
+                ii = ii + cr_ * si + ci_ * sr
+            dr = d0r - ir
+            di = d0i - ii
 
     out_ref[:, :n] = dr
     out_ref[:, n:] = di
 
 
 @lru_cache(maxsize=16)
+def _ic_matmul_stack(cfg: GfdmConfig, amp: float) -> np.ndarray:
+    """bf16 Gauss stack of the full interference operator amp*(P+M + P-M)@BD.
+
+    Row convention: interference_row = decisions_row @ A. bf16 weights are
+    fine here - the IC term is a ~-20 dB correction, so 0.4% operator
+    rounding sits ~-68 dB below signal.
+    """
+    from ..ops import operators as _ops
+    from ..ref.demodulation import ic_filter_taps as _ic
+
+    n, M, K = cfg.block_len, cfg.timeslots, cfg.subcarriers
+    C = (
+        _ops.idft_matrix(M)
+        @ np.diag(_ic(cfg.rx_filter_taps, M, cfg.overlap))
+        @ _ops.dft_matrix(M)
+    ).T
+    BD = np.zeros((n, n), dtype=np.complex128)
+    for k in range(K):
+        sl = slice(k * M, (k + 1) * M)
+        BD[sl, sl] = C
+    P = np.roll(np.eye(n), M, axis=1) + np.roll(np.eye(n), -M, axis=1)
+    from ..ops.planar import gauss_stack
+
+    return gauss_stack(amp * (P @ BD), np.dtype("bfloat16"))
+
+
+@lru_cache(maxsize=16)
 def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
                      ic_iterations: int, qpsk_amp: float, dec_kind: str,
-                     phase_comp: bool, equalizer: str, interpret: bool):
+                     phase_comp: bool, equalizer: str, ic_mode: str,
+                     interpret: bool):
     from ..ops import operators as _ops
     from ..ref.demodulation import ic_filter_taps as _ic
 
@@ -489,11 +530,12 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
     n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
         _rx_ic_circ_kernel, cfg, ic_iterations, qpsk_amp, dec_kind,
-        phase_comp, equalizer,
+        phase_comp, equalizer, ic_mode,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
         n_cnr,
     )
+    icop_rows = 3 * n if ic_mode == "matmul" else M - 1
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -510,7 +552,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
             pl.BlockSpec((3 * half, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((half, met_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M - 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((icop_rows, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -557,7 +599,8 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                       qpsk_amp: float | None = None,
                       constellation: str = "qpsk",
                       phase_compensation: bool = False,
-                      equalizer: str = "zf"):
+                      equalizer: str = "zf",
+                      ic_mode: str = "conv"):
     """Whole receiver core (channel est + SNR/CNR + ZF + demod + circulant
     IC) in one VMEM pass.
 
@@ -583,7 +626,9 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)
     call = _rx_ic_circ_call(cfg, B, block, int(ic_iterations), amp,
                             str(constellation), bool(phase_compensation),
-                            str(equalizer), bool(interpret))
+                            str(equalizer), str(ic_mode), bool(interpret))
+    icop = (_ic_matmul_stack(cfg, amp) if ic_mode == "matmul"
+            else _circ_masks(cfg))
     chan, out, met = call(
         bursts.reshape(B, -1),
         jnp.asarray(mats["E_G"]),
@@ -592,7 +637,7 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
         jnp.asarray(mats["F2_G"]),
         jnp.asarray(_met_selection(cfg)),
         jnp.asarray(active),
-        jnp.asarray(_circ_masks(cfg)),
+        jnp.asarray(icop),
     )
     return chan.reshape(B, 2, n), out.reshape(B, 2, n), met
 
@@ -1292,10 +1337,10 @@ def link_step_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
 # fully fused loopback link: Tx -> burst (VMEM) -> receiver in ONE kernel
 # ---------------------------------------------------------------------------
 def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
-                 dec_kind: str,
+                 dec_kind: str, ic_mode: str,
                  c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                  data_ref, tw_ref, win_ref, pre_ref, e_ref, fw_ref, bfd_ref,
-                 f2_ref, sel_ref, act_ref, mlt_ref, dsel_ref,
+                 f2_ref, sel_ref, act_ref, icop_ref, dsel_ref,
                  out_ref, met_ref):
     """End-to-end link with the burst batch held in VMEM.
 
@@ -1367,25 +1412,33 @@ def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
     def block_rot(v, j):
         if j == 0:
             return v
-        return jnp.where(mlt_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
+        return jnp.where(icop_ref[:][j - 1 : j, :] > 0, groll(v, j - M), groll(v, j))
 
-    # roll-optimized IC loop (see _rx_ic_circ_kernel for the layout notes)
     dr, di = d0r, d0i
-    for _ in range(ic_iterations):
-        qr, qi = _ic_decide(dr, di, dec_kind)
-        h2 = jnp.concatenate([qr, qi], axis=0)
-        h2 = (h2 * act).astype(jnp.bfloat16)
-        n2 = groll(h2, M) + groll(h2, -M)
-        ir = jnp.zeros_like(d0r)
-        ii = jnp.zeros_like(d0i)
-        for j in range(M):
-            s2 = block_rot(n2, j).astype(jnp.float32)
-            sr, si = s2[:bb], s2[bb:]
-            cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
-            ir = ir + cr_ * sr - ci_ * si
-            ii = ii + cr_ * si + ci_ * sr
-        dr = d0r - ir
-        di = d0i - ii
+    if ic_mode == "matmul":
+        # one bf16 Gauss matmul triple per iteration (see _rx_ic_circ_kernel)
+        for _ in range(ic_iterations):
+            qr, qi = _ic_decide(dr, di, dec_kind)
+            ir, ii = _gdot(qr * act, qi * act, icop_ref, n)
+            dr = d0r - ir
+            di = d0i - ii
+    else:
+        # roll-optimized conv IC (see _rx_ic_circ_kernel for layout notes)
+        for _ in range(ic_iterations):
+            qr, qi = _ic_decide(dr, di, dec_kind)
+            h2 = jnp.concatenate([qr, qi], axis=0)
+            h2 = (h2 * act).astype(jnp.bfloat16)
+            n2 = groll(h2, M) + groll(h2, -M)
+            ir = jnp.zeros_like(d0r)
+            ii = jnp.zeros_like(d0i)
+            for j in range(M):
+                s2 = block_rot(n2, j).astype(jnp.float32)
+                sr, si = s2[:bb], s2[bb:]
+                cr_, ci_ = a * c_taps_r[j], a * c_taps_i[j]
+                ir = ir + cr_ * sr - ci_ * si
+                ii = ii + cr_ * si + ci_ * sr
+            dr = d0r - ir
+            di = d0i - ii
 
     # demap as a 0/1 selection matmul (Mosaic-friendly gather)
     dsel = dsel_ref[:]
@@ -1395,7 +1448,7 @@ def _link_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
 
 @lru_cache(maxsize=16)
 def _link_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
-               qpsk_amp: float, dec_kind: str, interpret: bool):
+               qpsk_amp: float, dec_kind: str, ic_mode: str, interpret: bool):
     from ..ops import operators as _ops
     from ..ref.demodulation import ic_filter_taps as _ic
 
@@ -1413,11 +1466,12 @@ def _link_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
     c_col = Cmat[:, 0]
     n_cnr, met_w = _met_layout(cfg)
     kernel = functools.partial(
-        _link_kernel, cfg, ic_iterations, qpsk_amp, dec_kind,
+        _link_kernel, cfg, ic_iterations, qpsk_amp, dec_kind, ic_mode,
         tuple(float(x) for x in c_col.real),
         tuple(float(x) for x in c_col.imag),
         n_cnr,
     )
+    icop_rows = 3 * n if ic_mode == "matmul" else M - 1
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -1436,7 +1490,7 @@ def _link_call(cfg: GfdmConfig, batch: int, block: int, ic_iterations: int,
             pl.BlockSpec((3 * half, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((half, met_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M - 1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((icop_rows, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n_d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -1464,7 +1518,8 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
                       block: int = 64, interpret: bool | None = None,
                       qpsk_amp: float | None = None,
                       dtype_name: str = "float32",
-                      constellation: str = "qpsk"):
+                      constellation: str = "qpsk",
+                      ic_mode: str = "conv"):
     """One-kernel end-to-end link: payload -> Tx -> VMEM burst -> Rx -> data.
 
     data: (B, 2, n_data) planar payload. Returns (data_hat (B, 2, n_data),
@@ -1490,7 +1545,9 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
         raise ValueError(f"batch {B} must be a multiple of block {block}")
     amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)
     call = _link_call(cfg, B, block, int(ic_iterations), amp,
-                      str(constellation), bool(interpret))
+                      str(constellation), str(ic_mode), bool(interpret))
+    icop = (_ic_matmul_stack(cfg, amp) if ic_mode == "matmul"
+            else _circ_masks(cfg))
     n_cnr, _ = _met_layout(cfg)
     out, met = call(
         data.reshape(B, -1),
@@ -1503,7 +1560,7 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
         jnp.asarray(mats["F2_G"]),
         jnp.asarray(_met_selection(cfg)),
         jnp.asarray(active),
-        jnp.asarray(_circ_masks(cfg)),
+        jnp.asarray(icop),
         jnp.asarray(_demap_selection(cfg)),
     )
     d_hat = out.reshape(B, 2, n_d)

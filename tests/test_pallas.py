@@ -359,3 +359,35 @@ def test_rx_receiver_fused_mmse_matches_xla():
         np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape),
         atol=2e-3,
     )
+
+
+def test_rx_receiver_fused_matmul_ic_matches_conv():
+    """ic_mode='matmul' (one Gauss gdot per IC iteration, bf16 operator)
+    == the circulant-conv IC within the bf16-operator tolerance."""
+    from gfdm_tpu.kernels.fused import rx_receiver_fused
+
+    data = _planar_payload(8, seed=140)
+    bursts = transmit_planar(CFG, data)[:, 0]
+    _c1, conv, _m1 = rx_receiver_fused(CFG, bursts, ic_iterations=2, block=4)
+    _c2, mm, _m2 = rx_receiver_fused(CFG, bursts, ic_iterations=2, block=4,
+                                     ic_mode="matmul")
+    # the interference term is ~-20 dB of signal; bf16 operator rounding
+    # perturbs it by ~0.4% -> ~4e-3 absolute on symbols
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(conv), atol=5e-3)
+    # and it must actually cancel interference (better than no IC)
+    _c0, raw, _m0 = rx_receiver_fused(CFG, bursts, ic_iterations=0, block=4)
+    idx_err = np.abs(np.asarray(raw) - np.asarray(conv)).max()
+    mm_err = np.abs(np.asarray(mm) - np.asarray(conv)).max()
+    assert mm_err < 0.1 * idx_err
+
+
+def test_link_single_fused_matmul_ic():
+    """One-kernel link with matmul IC == conv-IC link within bf16 tolerance."""
+    from gfdm_tpu.kernels.fused import link_single_fused
+
+    data = _planar_payload(8, seed=150)
+    ref = link_single_fused(CFG, data, ic_iterations=2, block=4)
+    got = link_single_fused(CFG, data, ic_iterations=2, block=4,
+                            ic_mode="matmul")
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=5e-3)
+    assert abs(float(got[2]) - float(ref[2])) < 5e-4
