@@ -362,6 +362,10 @@ class UdpIngest:
     datagrams sent to 127.0.0.1:``port`` are converted and pushed into the
     ring without Python in the loop. A zero-length datagram marks
     end-of-stream; :meth:`stop` also ends the loop.
+
+    The socket is bound synchronously in the constructor: once this returns,
+    the port is live (senders may probe it with sub-sample-size datagrams,
+    which are discarded). Raises OSError if the bind fails.
     """
 
     def __init__(self, port: int, stream: StreamBuffer,
@@ -371,11 +375,12 @@ class UdpIngest:
             raise RuntimeError("native library unavailable")
         self._lib = lib
         self.port = int(port)
-        self._h = ctypes.c_void_p(
-            lib.gfdm_ingest_start_udp(
-                self.port, stream._h, float(scale), int(max_datagram_bytes)
-            )
+        h = lib.gfdm_ingest_start_udp(
+            self.port, stream._h, float(scale), int(max_datagram_bytes)
         )
+        if not h:
+            raise OSError(f"could not bind udp:{self.port}")
+        self._h = ctypes.c_void_p(h)
 
     @property
     def running(self) -> bool:

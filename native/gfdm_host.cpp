@@ -479,38 +479,42 @@ void* gfdm_ingest_start_sc16(const char* path, void* stream, float scale,
 // of a UHD/VITA-49 recv thread (the reference's OTA demo sources samples
 // from uhd_usrp_source, examples/gfdm_ota_demo.grc). A zero-length datagram
 // marks end-of-stream; gfdm_ingest_request_stop() also ends the loop.
+// The socket is created and bound on the CALLING thread so the port is
+// guaranteed live once this returns; returns nullptr if the bind fails.
+// Datagrams shorter than one sc16 sample (4 bytes) are treated as probes
+// and pushed nowhere, so peers can detect the listener (via the absence of
+// an ICMP port-unreachable rejection) without corrupting the stream.
 void* gfdm_ingest_start_udp(uint16_t port, void* stream, float scale,
                             int64_t max_datagram_bytes) {
+    int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return nullptr;
+    int one = 1;
+    ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    timeval tv{0, 100000};  // 100 ms poll so stop requests are seen
+    ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = htons(port);
+    if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+        ::close(fd);
+        return nullptr;
+    }
     auto* ing = new GfdmIngest();
-    ing->th = std::thread([ing, port, stream, scale, max_datagram_bytes]() {
-        int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
-        if (fd >= 0) {
-            int one = 1;
-            ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
-            timeval tv{0, 100000};  // 100 ms poll so stop requests are seen
-            ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
-            sockaddr_in addr{};
-            addr.sin_family = AF_INET;
-            addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
-            addr.sin_port = htons(port);
-            if (::bind(fd, reinterpret_cast<sockaddr*>(&addr),
-                       sizeof(addr)) == 0) {
-                std::vector<int16_t> buf(
-                    static_cast<size_t>(max_datagram_bytes) / 2);
-                while (!ing->stop.load(std::memory_order_acquire)) {
-                    const ssize_t got = ::recv(fd, buf.data(),
-                                               static_cast<size_t>(max_datagram_bytes), 0);
-                    if (got == 0) break;  // explicit end-of-stream marker
-                    if (got < 0) continue;  // timeout: re-check stop flag
-                    const int64_t ns = static_cast<int64_t>(got) / 4;
-                    if (ns > 0) {
-                        gfdm_stream_push_sc16(stream, buf.data(), ns, scale);
-                        ing->samples.fetch_add(ns, std::memory_order_relaxed);
-                    }
-                }
+    ing->th = std::thread([ing, fd, stream, scale, max_datagram_bytes]() {
+        std::vector<int16_t> buf(static_cast<size_t>(max_datagram_bytes) / 2);
+        while (!ing->stop.load(std::memory_order_acquire)) {
+            const ssize_t got = ::recv(fd, buf.data(),
+                                       static_cast<size_t>(max_datagram_bytes), 0);
+            if (got == 0) break;    // explicit end-of-stream marker
+            if (got < 0) continue;  // timeout: re-check stop flag
+            const int64_t ns = static_cast<int64_t>(got) / 4;
+            if (ns > 0) {
+                gfdm_stream_push_sc16(stream, buf.data(), ns, scale);
+                ing->samples.fetch_add(ns, std::memory_order_relaxed);
             }
-            ::close(fd);
         }
+        ::close(fd);
         ing->done.store(true, std::memory_order_release);
     });
     return ing;

@@ -135,13 +135,26 @@ def test_rx_udp_live_capture(cfg, tmp_path):
     port = 47411
 
     def send():
-        time.sleep(0.3)  # let the receiver bind
+        # Probe until the receiver has bound the port: a connected UDP
+        # socket surfaces the ICMP port-unreachable as ECONNREFUSED while
+        # nothing is listening. 2-byte probes are below one sc16 sample so
+        # the native ingest discards them.
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.connect(("127.0.0.1", port))
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            try:
+                s.send(b"\x00\x00")
+                time.sleep(0.05)
+                s.send(b"\x00\x00")
+                break
+            except ConnectionRefusedError:
+                time.sleep(0.05)
         step = 2 * 512
         for i in range(0, raw.size, step):
-            s.sendto(raw[i : i + step].tobytes(), ("127.0.0.1", port))
+            s.send(raw[i : i + step].tobytes())
             time.sleep(0.001)
-        s.sendto(b"", ("127.0.0.1", port))
+        s.send(b"")
         s.close()
 
     t = threading.Thread(target=send)
