@@ -100,6 +100,12 @@ class StreamingReceiver:
     cfg: GfdmConfig
     chunk_len: int = 2048
     batch_chunks: int = 8
+    # super-batching ceiling: serve() pulls up to this many chunks per
+    # dispatch when the ring has backlog, amortizing the fixed per-dispatch
+    # latency (~3.5 ms on tunneled devices). Batch shapes are padded to a
+    # geometric ladder batch_chunks * 2^j so at most log2(max/batch)+1
+    # executables are compiled. None -> batch_chunks (no super-batching).
+    max_batch_chunks: int | None = None
     ic_iterations: int = 2
     max_bursts_per_chunk: int = 1
     min_strength: float = 0.05
@@ -208,23 +214,33 @@ class StreamingReceiver:
 
         return jax.jit(_step)
 
-    def step(self, chunks: np.ndarray, fetch: tuple = ()):
-        """Receive one (n_chunks, 2, chunk_len + halo) batch -> host dict.
+    def _padded_batch(self, n: int) -> int:
+        """Pad a batch size up the geometric shape ladder (x dp alignment).
 
-        Only payloads + detection metadata are fetched by default; pass
-        ``fetch=("symbols", "channel", "cnrs")`` for diagnostics. (Host
-        transfer is the service bottleneck on tunneled devices - the compute
-        itself is ~6x faster than a full-dict fetch.)
+        Bounds the number of compiled executables to the ladder length while
+        wasting < 2x compute on partial batches — the trade that lets serve()
+        dispatch whatever the ring has available without recompiling.
         """
+        size = self.batch_chunks
+        while size < n:
+            size *= 2
+        dp = self.mesh.shape["dp"]
+        return ((size + dp - 1) // dp) * dp
+
+    def _dispatch(self, chunks: np.ndarray):
+        """Enqueue one batch on the mesh; returns (device outputs, n)."""
         n = chunks.shape[0]
-        if n % self.mesh.shape["dp"]:
-            pad = self.mesh.shape["dp"] - n % self.mesh.shape["dp"]
+        size = self._padded_batch(n)
+        if size != n:
             chunks = np.concatenate(
-                [chunks, np.zeros((pad,) + chunks.shape[1:], chunks.dtype)]
+                [chunks, np.zeros((size - n,) + chunks.shape[1:], chunks.dtype)]
             )
         dev = jax.device_put(np.ascontiguousarray(chunks, np.float32),
                              self._sharding)
-        out = self._step(dev)
+        return self._step(dev), n
+
+    def _fetch(self, out, n: int, fetch: tuple = ()):
+        """Fetch one dispatched batch to the host and account stats."""
         # slots are chunk-major; padded chunks land at the end and are trimmed
         slots = n * max(1, self.max_bursts_per_chunk)
         host = {
@@ -246,18 +262,35 @@ class StreamingReceiver:
             self.stats.snr_db_sum += float(np.sum(10.0 * np.log10(snr)))
         return host
 
+    def step(self, chunks: np.ndarray, fetch: tuple = ()):
+        """Receive one (n_chunks, 2, chunk_len + halo) batch -> host dict.
+
+        Only payloads + detection metadata are fetched by default; pass
+        ``fetch=("symbols", "channel", "cnrs")`` for diagnostics. (Host
+        transfer is the service bottleneck on tunneled devices - the compute
+        itself is ~6x faster than a full-dict fetch.)
+        """
+        out, n = self._dispatch(chunks)
+        return self._fetch(out, n, fetch)
+
     def serve(self, source, sink, max_batches: int | None = None) -> ServiceStats:
         """Run the receive loop until the source is exhausted.
 
-        ``source``: native StreamBuffer (pulled in batch_chunks batches), or
-        a callable returning an (n, 2, ext) ndarray / None when exhausted.
+        ``source``: native StreamBuffer (pulled in batches of up to
+        max_batch_chunks when the ring has backlog, batch_chunks otherwise),
+        or a callable returning an (n, 2, ext) ndarray / None when exhausted.
         ``sink``: callable(dict) receiving each step's host-side outputs
         (payload symbols, found mask, detection metadata, base sample offset).
+
+        The loop is software-pipelined one batch deep: batch i+1 is
+        dispatched to the device before batch i's results are fetched, so
+        host transfer overlaps the next batch's compute (JAX dispatch is
+        asynchronous; the fetch is what blocks).
         """
-        pull = None
+        pull_chunks = max(self.batch_chunks, self.max_batch_chunks or 0)
         if hasattr(source, "pull"):
             def pull():
-                chunks, base = source.pull(self.batch_chunks)
+                chunks, base = source.pull(pull_chunks)
                 if chunks.shape[0] == 0:
                     return None
                 return chunks, base
@@ -269,17 +302,30 @@ class StreamingReceiver:
                 return got if isinstance(got, tuple) else (got, -1)
 
         k = max(1, self.max_bursts_per_chunk)
-        while max_batches is None or self.stats.batches < max_batches:
-            got = pull()
-            if got is None:
-                break
-            chunks, base = got
-            n = int(np.asarray(chunks).shape[0])
-            out = self.step(np.asarray(chunks))
+
+        def emit(pending):
+            out_dev, n, base = pending
+            out = self._fetch(out_dev, n)
             out["base_offset"] = base
             # absolute sample index of each slot's detection in the recording
             out["start_abs"] = out["start"] + base + self.chunk_len * np.repeat(
                 np.arange(n), k
             )
             sink(out)
+
+        pending = None
+        dispatched = 0
+        while max_batches is None or dispatched < max_batches:
+            got = pull()
+            if got is None:
+                break
+            chunks, base = got
+            chunks = np.asarray(chunks)
+            out_dev, n = self._dispatch(chunks)
+            dispatched += 1
+            if pending is not None:
+                emit(pending)
+            pending = (out_dev, n, base)
+        if pending is not None:
+            emit(pending)
         return self.stats

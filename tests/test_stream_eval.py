@@ -239,6 +239,60 @@ def test_streaming_service_sharded_loop():
     assert sorted(i for r in ranges for i in r) == list(range(10))
 
 
+def test_streaming_service_super_batching():
+    """max_batch_chunks drains ring backlog in one dispatch; the geometric
+    shape ladder bounds compilation; results match the per-batch loop."""
+    from gfdm_tpu import native
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    chunk_len = 2048
+    halo = CFG.frame_len + CFG.cp_len
+    n_chunks = 8
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=300 + i) for i in range(3)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(n_chunks * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(17)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    offsets = [150, 2 * chunk_len + 400, 6 * chunk_len + 50]
+    for b, off in zip(bursts, offsets):
+        stream[off : off + CFG.frame_len] += b
+
+    def run(**kwargs):
+        sb = native.StreamBuffer(capacity=16 * chunk_len,
+                                 chunk_len=chunk_len, halo=halo)
+        sb.push(pl.to_planar(stream))
+        rx = StreamingReceiver(CFG, chunk_len=chunk_len, **kwargs)
+        got = []
+        stats = rx.serve(sb, sink=got.append)
+        payloads = {}
+        for out in got:
+            for row, start in zip(out["data"][out["found"]],
+                                  out["start_abs"][out["found"]]):
+                payloads[int(start)] = row
+        return rx, stats, payloads
+
+    rx_sb, stats_sb, pay_sb = run(batch_chunks=2, max_batch_chunks=8)
+    # ring had 7 complete chunks (tail halo missing) -> ONE padded dispatch
+    assert stats_sb.batches == 1 and stats_sb.chunks == 7
+    assert stats_sb.bursts_found == 3
+    # ladder (x dp alignment) bounds the set of compiled batch shapes
+    sizes = {rx_sb._padded_batch(n) for n in range(1, 9)}
+    assert len(sizes) <= 3 and max(sizes) == 8
+    assert all(s % rx_sb.mesh.shape["dp"] == 0 for s in sizes)
+    _, stats_ref, pay_ref = run(batch_chunks=2)
+    assert stats_ref.batches == 4  # 2+2+2+1 without super-batching
+    assert sorted(pay_sb) == sorted(pay_ref) == [
+        o + CFG.cp_len for o in offsets
+    ]
+    for start in pay_ref:
+        np.testing.assert_allclose(pay_sb[start], pay_ref[start], atol=1e-6)
+
+
 def test_streaming_service_fused_engine_matches_xla():
     """engine='fused' (per-shard Pallas receiver under shard_map) agrees
     with the XLA engine slot-for-slot."""
