@@ -67,6 +67,8 @@ def _load():
     lib.gfdm_stream_push.argtypes = [ctypes.c_void_p, f32p, f32p, i64]
     lib.gfdm_stream_available_chunks.restype = i64
     lib.gfdm_stream_available_chunks.argtypes = [ctypes.c_void_p]
+    lib.gfdm_stream_dropped.restype = i64
+    lib.gfdm_stream_dropped.argtypes = [ctypes.c_void_p]
     lib.gfdm_stream_pull.restype = i64
     lib.gfdm_stream_pull.argtypes = [
         ctypes.c_void_p, f32p, i64, ctypes.POINTER(i64)
@@ -86,6 +88,8 @@ def _load():
     ]
     lib.gfdm_bank_available_chunks.restype = i64
     lib.gfdm_bank_available_chunks.argtypes = [ctypes.c_void_p]
+    lib.gfdm_bank_dropped.restype = i64
+    lib.gfdm_bank_dropped.argtypes = [ctypes.c_void_p]
     lib.gfdm_bank_pull.restype = i64
     lib.gfdm_bank_pull.argtypes = [
         ctypes.c_void_p, f32p, i64, ctypes.POINTER(i64)
@@ -228,6 +232,11 @@ class StreamBuffer:
     def available_chunks(self) -> int:
         return int(self._lib.gfdm_stream_available_chunks(self._h))
 
+    @property
+    def dropped(self) -> int:
+        """Cumulative samples dropped to ring overflow since creation."""
+        return int(self._lib.gfdm_stream_dropped(self._h))
+
     def push_sc16(self, raw: np.ndarray, scale: float = SC16_SCALE) -> int:
         """Push interleaved int16 IQ (converted natively in one fused pass)."""
         raw = np.ascontiguousarray(raw, dtype=np.int16)
@@ -307,6 +316,11 @@ class StreamBank:
     @property
     def available_chunks(self) -> int:
         return int(self._lib.gfdm_bank_available_chunks(self._h))
+
+    @property
+    def dropped(self) -> int:
+        """Cumulative samples dropped across all channels (overflow + realign)."""
+        return int(self._lib.gfdm_bank_dropped(self._h))
 
     def pull(self, max_chunks: int):
         """-> ((n, n_channels, 2, chunk_len+halo) float32, sample offset)."""

@@ -119,6 +119,12 @@ class StreamingReceiver:
     def __post_init__(self):
         from ..ops.planar_pipeline import prepare
 
+        if self.batch_chunks < 1:
+            raise ValueError(f"batch_chunks must be >= 1, got {self.batch_chunks}")
+        if self.max_batch_chunks is not None and (
+            self.max_batch_chunks < self.batch_chunks
+        ):
+            raise ValueError("max_batch_chunks must be >= batch_chunks")
         if self.mesh is None:
             devs = np.asarray(jax.devices())
             self.mesh = jax.sharding.Mesh(devs.reshape(len(devs), 1), ("dp", "sp"))
@@ -269,6 +275,11 @@ class StreamingReceiver:
         ``fetch=("symbols", "channel", "cnrs")`` for diagnostics. (Host
         transfer is the service bottleneck on tunneled devices - the compute
         itself is ~6x faster than a full-dict fetch.)
+
+        Batches smaller than ``batch_chunks`` are zero-padded up to
+        ``batch_chunks`` (the floor of the compiled shape ladder) before
+        dispatch, so a 1-chunk call costs one full batch of compute; size the
+        call to ``batch_chunks`` when throughput matters.
         """
         out, n = self._dispatch(chunks)
         return self._fetch(out, n, fetch)
@@ -282,15 +293,38 @@ class StreamingReceiver:
         ``sink``: callable(dict) receiving each step's host-side outputs
         (payload symbols, found mask, detection metadata, base sample offset).
 
+        ``max_batches`` bounds the number of *dispatches made by this call*
+        (not the cumulative ``stats.batches`` across calls), and with
+        super-batching enabled each dispatch may carry up to
+        ``max_batch_chunks`` chunks — bound work by chunk count via the
+        source if you need a hard sample limit.
+
         The loop is software-pipelined one batch deep: batch i+1 is
         dispatched to the device before batch i's results are fetched, so
         host transfer overlaps the next batch's compute (JAX dispatch is
         asynchronous; the fetch is what blocks).
+
+        Ring overflow on the producer side is accounted per call: if the
+        source exposes a cumulative ``dropped`` counter (native StreamBuffer/
+        StreamBank), its growth since the last observation is added to
+        ``stats.dropped_ring``.
         """
         pull_chunks = max(self.batch_chunks, self.max_batch_chunks or 0)
+        # drops before this serve() call aren't ours to account
+        dropped_seen = int(source.dropped) if hasattr(source, "dropped") else None
+
+        def account_drops():
+            nonlocal dropped_seen
+            if dropped_seen is None:
+                return
+            total = int(source.dropped)
+            self.stats.dropped_ring += total - dropped_seen
+            dropped_seen = total
+
         if hasattr(source, "pull"):
             def pull():
                 chunks, base = source.pull(pull_chunks)
+                account_drops()
                 if chunks.shape[0] == 0:
                     return None
                 return chunks, base

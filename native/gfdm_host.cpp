@@ -303,6 +303,14 @@ int64_t gfdm_stream_push_sc16(void* h, const int16_t* in, int64_t n,
     return stream_commit(b, head, n);
 }
 
+// Cumulative count of samples dropped to overflow (and, for bank members,
+// realignment) since creation. The consumer side polls this to account
+// drops without being in the producer's call path.
+int64_t gfdm_stream_dropped(void* h) {
+    return static_cast<GfdmStreamBuffer*>(h)->dropped.load(
+        std::memory_order_relaxed);
+}
+
 // Number of complete extended chunks ready to pull.
 int64_t gfdm_stream_available_chunks(void* h) {
     auto* b = static_cast<GfdmStreamBuffer*>(h);
@@ -382,6 +390,15 @@ int64_t gfdm_bank_push_sc16(void* h, int64_t channel, const int16_t* in,
     auto* bank = static_cast<GfdmStreamBank*>(h);
     return gfdm_stream_push_sc16(bank->ch[static_cast<size_t>(channel)], in, n,
                                  scale);
+}
+
+// Cumulative samples dropped across all channels of the bank.
+int64_t gfdm_bank_dropped(void* h) {
+    auto* bank = static_cast<GfdmStreamBank*>(h);
+    int64_t total = 0;
+    for (auto* b : bank->ch)
+        total += b->dropped.load(std::memory_order_relaxed);
+    return total;
 }
 
 // Chunks pullable at the latest common alignment across all channels.
@@ -488,8 +505,9 @@ void* gfdm_ingest_start_udp(uint16_t port, void* stream, float scale,
                             int64_t max_datagram_bytes) {
     int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
     if (fd < 0) return nullptr;
-    int one = 1;
-    ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    // No SO_REUSEADDR: UDP has no TIME_WAIT, so it would only let a second
+    // listener silently share the port; a busy port must fail bind so the
+    // caller sees OSError instead of a stale receiver stealing datagrams.
     timeval tv{0, 100000};  // 100 ms poll so stop requests are seen
     ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
     sockaddr_in addr{};

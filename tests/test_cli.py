@@ -132,7 +132,12 @@ def test_rx_udp_live_capture(cfg, tmp_path):
     payload = rng.integers(0, 256, 2 * cap, dtype=np.uint8).tobytes()
     stream = tx_file(cfg, payload)
     raw = cf64_to_sc16(stream.astype(np.complex128))
-    port = 47411
+    # pick a port that is free right now (the ingest socket no longer sets
+    # SO_REUSEADDR, so a stale listener would make the bind fail loudly)
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as free:
+        free.bind(("127.0.0.1", 0))
+        port = free.getsockname()[1]
+    errors = []
 
     def send():
         # Probe until the receiver has bound the port: a connected UDP
@@ -142,20 +147,46 @@ def test_rx_udp_live_capture(cfg, tmp_path):
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         s.connect(("127.0.0.1", port))
         deadline = time.monotonic() + 30
+        bound = False
         while time.monotonic() < deadline:
             try:
+                # THREE consecutive sends with sleeps between: each sleep
+                # gives a pre-bind ICMP port-unreachable time to arrive and
+                # raise on the next send, so a clean triple means the port
+                # was live for the whole window and no stale ICMP is in
+                # flight to kill the first data send.
                 s.send(b"\x00\x00")
                 time.sleep(0.05)
                 s.send(b"\x00\x00")
+                time.sleep(0.05)
+                s.send(b"\x00\x00")
+                bound = True
                 break
             except ConnectionRefusedError:
                 time.sleep(0.05)
-        step = 2 * 512
-        for i in range(0, raw.size, step):
-            s.send(raw[i : i + step].tobytes())
-            time.sleep(0.001)
-        s.send(b"")
-        s.close()
+        if not bound:
+            errors.append("receiver never bound the UDP port within 30 s")
+            s.close()
+            return
+        try:
+            step = 2 * 512
+            for attempt in range(100):  # belt and braces for the first chunk
+                try:
+                    s.send(raw[:step].tobytes())
+                    break
+                except ConnectionRefusedError:
+                    time.sleep(0.05)
+            else:
+                errors.append("first data send kept getting refused")
+                return
+            for i in range(step, raw.size, step):
+                s.send(raw[i : i + step].tobytes())
+                time.sleep(0.001)
+            s.send(b"")
+        except OSError as exc:  # fail the test, not just the thread
+            errors.append(f"sender thread died: {exc!r}")
+        finally:
+            s.close()
 
     t = threading.Thread(target=send)
     t.start()
@@ -163,6 +194,7 @@ def test_rx_udp_live_capture(cfg, tmp_path):
     rc = main(["rx", "--udp-port", str(port), "--udp-timeout", "15",
                "--outfile", str(out)])
     t.join()
+    assert not errors, errors
     assert rc == 0
     assert out.read_bytes() == payload
 

@@ -60,8 +60,11 @@ def test_stream_buffer_overflow_drops_oldest():
     chunk, halo = 32, 8
     sb = native.StreamBuffer(capacity=128, chunk_len=chunk, halo=halo)
     sig = np.stack([np.arange(400, dtype=np.float32)] * 2)
+    assert sb.dropped == 0
     dropped = sb.push(sig)
     assert dropped > 0
+    # the consumer-side counter matches the producer-side return value
+    assert sb.dropped == dropped
     chunks, base = sb.pull(100)
     assert chunks.shape[0] >= 1
     # pulled data is contiguous and from the most recent window

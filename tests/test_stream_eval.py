@@ -293,6 +293,51 @@ def test_streaming_service_super_batching():
         np.testing.assert_allclose(pay_sb[start], pay_ref[start], atol=1e-6)
 
 
+def test_streaming_service_accounts_ring_drops():
+    """Overflow on the producer side during serve() lands in
+    stats.dropped_ring; drops from before the call are not ours."""
+    from gfdm_tpu import native
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    chunk_len = 2048
+    halo = CFG.frame_len + CFG.cp_len
+    sb = native.StreamBuffer(capacity=4 * chunk_len, chunk_len=chunk_len,
+                             halo=halo)
+    rng = np.random.default_rng(23)
+    noise = 0.01 * rng.standard_normal((2, 4 * chunk_len + halo)).astype(
+        np.float32
+    )
+    sb.push(noise)
+    assert sb.dropped > 0  # capacity minus halo < pushed -> pre-serve drops
+    pre = sb.dropped
+
+    rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=2)
+    flood = 0.01 * rng.standard_normal((2, 12 * chunk_len)).astype(np.float32)
+    state = {"flooded": False}
+
+    def sink(_out):
+        if not state["flooded"]:
+            sb.push(flood)  # overload arrives mid-serve
+            state["flooded"] = True
+
+    stats = rx.serve(sb, sink=sink)
+    assert state["flooded"]
+    assert stats.dropped_ring > 0
+    # exactly the drops that happened during this serve() call
+    assert stats.dropped_ring == sb.dropped - pre
+
+
+def test_streaming_service_validates_batch_chunks():
+    import pytest
+
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    with pytest.raises(ValueError, match="batch_chunks"):
+        StreamingReceiver(CFG, batch_chunks=0)
+    with pytest.raises(ValueError, match="max_batch_chunks"):
+        StreamingReceiver(CFG, batch_chunks=4, max_batch_chunks=2)
+
+
 def test_streaming_service_fused_engine_matches_xla():
     """engine='fused' (per-shard Pallas receiver under shard_map) agrees
     with the XLA engine slot-for-slot."""
