@@ -14,7 +14,6 @@ Reference blocks covered (SURVEY.md section 2.2):
 """
 from __future__ import annotations
 
-import numpy as np
 
 from .config import GfdmConfig
 from .ops import burst as _burst

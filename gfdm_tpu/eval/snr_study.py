@@ -6,8 +6,6 @@ Device-batched: every (snr, trial) pair is one row of a single batch.
 """
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import GfdmConfig

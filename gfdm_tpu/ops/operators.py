@@ -24,7 +24,6 @@ from functools import lru_cache
 import numpy as np
 
 from ..config import GfdmConfig
-from ..ref import cyclic_prefix as cp_ref
 from ..ref import demodulation as demod_ref
 from ..ref import modulation as mod_ref
 from ..ref.channel_estimation import PreambleChannelEstimator

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .filters import frequency_domain_filter, normalize_taps_energy, time_taps
+from .filters import frequency_domain_filter, normalize_taps_energy
 from .mapping import map_to_resources, subcarrier_map
 
 __all__ = [

@@ -17,7 +17,7 @@ import numpy as np
 
 from .cyclic_prefix import add_cyclic_extension, pinch_block, raised_cosine_ramp, window_len
 from .filters import frequency_domain_filter, normalize_taps_energy
-from .mapping import map_to_resources, subcarrier_map
+from .mapping import map_to_resources
 from .modulation import modulate_block
 from .utils import random_qpsk
 from .zadoff_chu import zadoff_chu_sequence

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GfdmConfig
-from .receiver import receive_bursts, receive_stream
+from .receiver import receive_bursts
 
 __all__ = [
     "chunk_with_lookahead",

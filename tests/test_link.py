@@ -7,7 +7,6 @@ included (which the reference delegates to XFDMSync).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gfdm_tpu import GfdmConfig
 from gfdm_tpu.ops import burst as burst_ops

@@ -168,7 +168,6 @@ def test_stream_buffer_concurrent_producer_consumer():
     consumer pulls concurrently; every chunk comes out exactly once, in
     order, with the right content."""
     import tempfile
-    import threading
     import time
 
     chunk, halo = 512, 128

@@ -340,8 +340,6 @@ def test_rx_receiver_fused_phase_compensation_matches_xla():
 
 def test_rx_receiver_fused_mmse_matches_xla():
     """Fused per-bin MMSE shrinkage == XLA equalizer='mmse' at low SNR."""
-    import jax
-
     from gfdm_tpu.kernels.fused import rx_receiver_fused
     from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
 

@@ -1,5 +1,4 @@
 """Factorized (Cooley-Tukey) planar path vs the dense-operator path."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 
