@@ -532,7 +532,10 @@ def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype_
         cfo = jnp.arctan2(ac_i, ac_r) / (2.0 * jnp.pi)
         e_at = jnp.take_along_axis(energy, nc[..., None], axis=-1)[..., 0]
         scale = jnp.sqrt(p_len / e_at)
+        ic_v = ic[..., : gated.shape[-1]]
         return {"start": nc, "cfo": cfo, "scale": scale, "strength": peak,
+                "ac_peak": jnp.take_along_axis(ic_v, nc[..., None], axis=-1)[..., 0],
+                "noise_floor": jnp.median(ic_v, axis=-1),
                 "ac_metric": ic}
 
     return fn
@@ -558,7 +561,7 @@ def _detect_topk_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int,
 
     @jax.jit
     def fn(s):
-        gated, ac, energy, _ = _detect_front_planar(cfg, kernel, s, search_limit)
+        gated, ac, energy, ic = _detect_front_planar(cfg, kernel, s, search_limit)
         pos = jnp.arange(gated.shape[-1])
 
         def body(g, _):
@@ -573,11 +576,14 @@ def _detect_topk_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int,
         ac_r = jnp.take_along_axis(ac[..., 0, :], ncs, axis=-1)
         ac_i = jnp.take_along_axis(ac[..., 1, :], ncs, axis=-1)
         e_at = jnp.take_along_axis(energy, ncs, axis=-1)
+        ic_v = ic[..., : gated.shape[-1]]
         return {
             "start": ncs,
             "cfo": jnp.arctan2(ac_i, ac_r) / (2.0 * jnp.pi),
             "scale": jnp.sqrt(p_len / e_at),
             "strength": peaks,
+            "ac_peak": jnp.take_along_axis(ic_v, ncs, axis=-1),
+            "noise_floor": jnp.median(ic_v, axis=-1),
         }
 
     return fn

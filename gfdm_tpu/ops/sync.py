@@ -24,9 +24,52 @@ import numpy as np
 
 from ..config import GfdmConfig
 
-__all__ = ["detect_bursts", "detect_bursts_topk", "moving_sum"]
+__all__ = [
+    "detect_bursts",
+    "detect_bursts_topk",
+    "detection_threshold",
+    "detection_valid",
+    "moving_sum",
+]
 
 DEFAULT_DTYPE = jnp.complex64
+
+# Under noise the integrated autocorrelation magnitude is Rayleigh-
+# distributed; detectors report its per-chunk MEDIAN as the noise floor
+# (robust to a burst plateau contaminating a chunk mean). The false-alarm
+# calibration of ref.synchronization.threshold_factor is stated against the
+# Rayleigh MEAN, so convert: median/mean = sqrt(2 ln 2)/sqrt(pi/2).
+RAYLEIGH_MEDIAN_TO_MEAN = float(np.sqrt(2.0 * np.log(2.0)) / np.sqrt(np.pi / 2.0))
+
+
+def detection_threshold(false_alarm_prob: float, noise_floor):
+    """Absolute detection threshold on the integrated-autocorrelation peak.
+
+    ``noise_floor`` is the per-chunk median of the integrated
+    autocorrelation trace (returned by the detectors); the factor comes from
+    the reference's false-alarm derivation
+    (/root/reference/python/pygfdm/synchronization.py:239-243): for a
+    Rayleigh-distributed noise metric with mean m,
+    P(X > lambda * m) = exp(-pi lambda^2 / 4), so
+    lambda = sqrt(-(4/pi) ln Pfa).
+    """
+    from ..ref.synchronization import threshold_factor
+
+    return threshold_factor(false_alarm_prob) * noise_floor / RAYLEIGH_MEDIAN_TO_MEAN
+
+
+def detection_valid(detection: dict, false_alarm_prob: float):
+    """Boolean mask: which detections exceed the false-alarm threshold.
+
+    Uses the autocorrelation peak (``ac_peak``, in [0, 1]) against the
+    per-chunk noise floor - the constant-false-alarm-rate rule replacing the
+    old magic ``min_strength`` constants.
+    """
+    thr = detection_threshold(false_alarm_prob, detection["noise_floor"])
+    ac_peak = detection["ac_peak"]
+    if hasattr(ac_peak, "ndim") and hasattr(thr, "ndim") and thr.ndim < ac_peak.ndim:
+        thr = thr[..., None]  # top-k slots share the chunk's floor
+    return ac_peak > thr
 
 
 def moving_sum(x, window: int):
@@ -76,11 +119,17 @@ def _detect_fn(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype):
         cfo = jnp.angle(ac_at_peak) / (2.0 * jnp.pi)
         e_at_peak = jnp.take_along_axis(energy, nc[..., None], axis=-1)[..., 0]
         scale = jnp.sqrt(p_len / jnp.maximum(e_at_peak, 1e-30))
+        ic_v = ic[..., :n_valid]
         return {
             "start": nc,  # core-preamble start within the chunk
             "cfo": cfo,  # relative to subcarrier spacing
             "scale": scale,  # amplitude normalization factor
             "strength": peak,  # gated correlation peak (detection metric)
+            # normalized autocorrelation at the peak + per-chunk Rayleigh
+            # noise floor: the inputs of the false-alarm decision rule
+            # (detection_valid)
+            "ac_peak": jnp.take_along_axis(ic_v, nc[..., None], axis=-1)[..., 0],
+            "noise_floor": jnp.median(ic_v, axis=-1),
             "ac_metric": ic,  # full integrated autocorrelation trace
         }
 
@@ -132,11 +181,14 @@ def _detect_topk_fn(cfg: GfdmConfig, chunk_len: int, search_limit: int,
         peaks = jnp.moveaxis(peaks, 0, -1)
         ac_at = jnp.take_along_axis(ac, ncs, axis=-1)
         e_at = jnp.take_along_axis(energy, ncs, axis=-1)
+        ic_v = ic[..., :n_valid]
         return {
             "start": ncs,
             "cfo": jnp.angle(ac_at) / (2.0 * jnp.pi),
             "scale": jnp.sqrt(p_len / jnp.maximum(e_at, 1e-30)),
             "strength": peaks,
+            "ac_peak": jnp.take_along_axis(ic_v, ncs, axis=-1),
+            "noise_floor": jnp.median(ic_v, axis=-1),
         }
 
     return fn

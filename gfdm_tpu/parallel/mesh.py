@@ -73,18 +73,33 @@ def halo_exchange_right(chunks, halo: int, axis_name: str = "sp"):
 
 
 def detect_bursts_sharded(
-    cfg: GfdmConfig, mesh: Mesh, stream, halo: int | None = None, planar: bool = False
+    cfg: GfdmConfig,
+    mesh: Mesh,
+    stream,
+    halo: int | None = None,
+    planar: bool = False,
+    false_alarm_prob: float = 1e-5,
 ):
     """Burst detection over a stream whose sample axis is sharded on 'sp'.
 
     ``stream``: (batch, n_sp * chunk_len) complex - or, with ``planar=True``,
     (batch, 2, n_sp * chunk_len) real planes (the TPU path) - with batch
     sharded on 'dp' and the sample axis sharded on 'sp'. Each chip extends
-    its chunk with a frame-length halo from the right neighbour, detects
-    locally, and keeps only bursts it owns (start < chunk_len).
+    its chunk with a frame-length halo from the right neighbour and searches
+    the WHOLE extended window (owned region + halo), so a burst near a chunk
+    boundary is typically seen twice: by its owner (start < chunk_len) and by
+    the left neighbour inside its halo (start >= chunk_len). The ``owned``
+    mask discriminates the two - exactly one shard keeps each burst (the
+    sharded analogue of the reference's partial-burst deferral,
+    /root/reference/lib/extract_burst_cc_impl.cc:214-228).
 
-    Returns (detection dict, extracted bursts) with per-chip leading layout
-    re-assembled to (batch, n_sp, ...).
+    Per shard, TWO detection picks are taken (peak suppression one frame
+    apart) and the primary is chosen as: strongest CFAR-valid OWNED pick,
+    else strongest CFAR-valid pick, else the raw argmax - so a neighbour's
+    strong burst sitting in the halo cannot shadow a weaker owned burst.
+
+    Returns (detection dict incl. ``owned``/``found``, extracted bursts) with
+    per-chip leading layout re-assembled to (batch, n_sp, ...).
     """
     if halo is None:
         halo = cfg.padded_frame_len
@@ -98,13 +113,16 @@ def detect_bursts_sharded(
 
         in_spec = P("dp", None, "sp")
         burst_spec = P("dp", "sp", None, None)
-        detect = pp.detect_bursts_planar
+        detect_topk = pp.detect_bursts_topk_planar
         extract = pp.extract_bursts_planar
     else:
         in_spec = P("dp", "sp")
         burst_spec = P("dp", "sp", None)
-        detect = sync_ops.detect_bursts
+        detect_topk = sync_ops.detect_bursts_topk
         extract = burst_ops.extract_bursts
+
+    det_keys = ("start", "cfo", "scale", "strength", "ac_peak",
+                "noise_floor", "owned", "found")
 
     @jax.jit  # keep shard_map traced: the eager path cannot re-enter jit
     @partial(
@@ -112,23 +130,30 @@ def detect_bursts_sharded(
         mesh=mesh,
         in_specs=in_spec,
         out_specs=(
-            {k: P("dp", "sp") for k in ("start", "cfo", "scale", "strength", "owned")},
+            {k: P("dp", "sp") for k in det_keys},
             burst_spec,
         ),
     )
     def _shard_fn(local):
         # local: (batch/dp, chunk_len) or (batch/dp, 2, chunk_len)
         extended = halo_exchange_right(local, halo, "sp")
-        det = detect(cfg, extended, chunk_len)
-        owned = det["start"] < chunk_len  # always true with limited search
-        bursts = extract(cfg, extended, det)
-        out_det = {
-            "start": det["start"][..., None],
-            "cfo": det["cfo"][..., None],
-            "scale": det["scale"][..., None],
-            "strength": det["strength"][..., None],
-            "owned": owned[..., None],
+        det2 = detect_topk(cfg, extended, max_bursts=2)  # full-window search
+        owned2 = det2["start"] < chunk_len
+        valid2 = sync_ops.detection_valid(det2, false_alarm_prob)
+        # rank: valid & owned > valid > raw strength (strengths are O(1))
+        score = det2["strength"] + 1e6 * (valid2 & owned2) + 1e3 * valid2
+        best = jnp.argmax(score, axis=-1)
+        det = {
+            k: jnp.take_along_axis(det2[k], best[..., None], axis=-1)[..., 0]
+            for k in ("start", "cfo", "scale", "strength", "ac_peak")
         }
+        det["noise_floor"] = det2["noise_floor"]
+        det["owned"] = det["start"] < chunk_len
+        det["found"] = det["owned"] & jnp.take_along_axis(
+            valid2, best[..., None], axis=-1
+        )[..., 0]
+        bursts = extract(cfg, extended, det)
+        out_det = {k: det[k][..., None] for k in det_keys}
         if planar:
             bursts = bursts[:, None, :, :]  # (b, 1, 2, L)
         else:

@@ -108,7 +108,11 @@ class StreamingReceiver:
     max_batch_chunks: int | None = None
     ic_iterations: int = 2
     max_bursts_per_chunk: int = 1
-    min_strength: float = 0.05
+    # detection decision: CFAR threshold derived from false_alarm_prob
+    # (ops.sync.detection_valid - the reference's threshold_factor
+    # derivation); set min_strength to override with a raw gated-peak floor
+    min_strength: float | None = None
+    false_alarm_prob: float = 1e-5
     equalizer: str = "zf"
     method: str = "dense"
     dtype_name: str = "float32"
@@ -147,6 +151,7 @@ class StreamingReceiver:
                     dtype_name=self.dtype_name,
                     method=self.method,
                     equalizer=self.equalizer,
+                    false_alarm_prob=self.false_alarm_prob,
                 )
 
             self._step = jax.jit(_step)
@@ -191,6 +196,8 @@ class StreamingReceiver:
         )
 
         def _step(chunks):
+            from .stream import _flatten_slots, _found_mask
+
             if k <= 1:
                 det = pp.detect_bursts_planar(
                     cfg, chunks, search_limit=chunk_len,
@@ -205,8 +212,7 @@ class StreamingReceiver:
                     chunks[:, None, :, :],
                     (chunks.shape[0], k) + chunks.shape[1:],
                 )
-                det = {key: det_k[key].reshape(-1)
-                       for key in ("start", "cfo", "scale", "strength")}
+                det = _flatten_slots(det_k)
                 bursts = pp.extract_bursts_planar(
                     cfg, rep.reshape((-1,) + chunks.shape[1:]), det
                 )
@@ -214,8 +220,8 @@ class StreamingReceiver:
             return {
                 "data": data, "symbols": symbols, "channel": channel,
                 "snr_lin": snr_lin, "cnrs": cnrs, "detection": det,
-                "found": (det["start"] < chunk_len)
-                & (det["strength"] > self.min_strength),
+                "found": _found_mask(det, chunk_len, self.min_strength,
+                                     self.false_alarm_prob),
             }
 
         return jax.jit(_step)

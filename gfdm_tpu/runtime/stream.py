@@ -38,14 +38,40 @@ def chunk_with_lookahead(stream, chunk_len: int, halo: int):
     return padded[..., idx]
 
 
+def _found_mask(det, chunk_len: int, min_strength, false_alarm_prob):
+    """Ownership AND detection decision for per-slot outputs.
+
+    Default rule: the constant-false-alarm-rate threshold derived from
+    ``false_alarm_prob`` (ops.sync.detection_valid, mirroring the reference's
+    threshold_factor derivation). ``min_strength`` (a raw gated-peak floor)
+    overrides it when set - the legacy magic-constant behavior.
+    """
+    from ..ops import sync as sync_ops
+
+    owned = det["start"] < chunk_len
+    if min_strength is not None:
+        return owned & (det["strength"] > min_strength)
+    return owned & sync_ops.detection_valid(det, false_alarm_prob)
+
+
+def _flatten_slots(det_k, keys=("start", "cfo", "scale", "strength", "ac_peak")):
+    """(..., k)-slotted detection dict -> flat per-slot dict (+ noise floor)."""
+    det = {key: det_k[key].reshape(-1) for key in keys}
+    det["noise_floor"] = jnp.broadcast_to(
+        det_k["noise_floor"][..., None], det_k["start"].shape
+    ).reshape(-1)
+    return det
+
+
 def receive_long_stream(
     cfg: GfdmConfig,
     stream,
     chunk_len: int = 2048,
     ic_iterations: int = 2,
-    min_strength: float = 0.05,
+    min_strength: float | None = None,
     correct_cfo: bool = True,
     max_bursts_per_chunk: int = 1,
+    false_alarm_prob: float = 1e-5,
 ):
     """Receive every burst in a long recording.
 
@@ -53,6 +79,9 @@ def receive_long_stream(
     ``max_bursts_per_chunk > 1`` each chunk contributes that many detection
     slots (iterative peak suppression, strongest first) so densely packed
     bursts - up to one per frame length - are all recovered.
+
+    Detection decision: see :func:`_found_mask` (CFAR threshold from
+    ``false_alarm_prob`` unless ``min_strength`` is set explicitly).
     """
     from ..ops import burst as burst_ops
     from ..ops import sync as sync_ops
@@ -61,6 +90,7 @@ def receive_long_stream(
     chunks = chunk_with_lookahead(jnp.asarray(stream), chunk_len, halo)
     if max_bursts_per_chunk <= 1:
         det = sync_ops.detect_bursts(cfg, chunks, search_limit=chunk_len)
+        det = {k: v for k, v in det.items() if k != "ac_metric"}
         bursts = burst_ops.extract_bursts(cfg, chunks, det, correct_cfo=correct_cfo)
     else:
         k = int(max_bursts_per_chunk)
@@ -71,14 +101,13 @@ def receive_long_stream(
         rep = jnp.broadcast_to(
             chunks[..., None, :], chunks.shape[:-1] + (k, chunks.shape[-1])
         )
-        det = {key: det_k[key].reshape(-1) for key in ("start", "cfo", "scale",
-                                                       "strength")}
+        det = _flatten_slots(det_k)
         bursts = burst_ops.extract_bursts(
             cfg, rep.reshape((-1, chunks.shape[-1])), det, correct_cfo=correct_cfo
         )
     out = receive_bursts(cfg, bursts, ic_iterations=ic_iterations)
     out["detection"] = det
-    out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)
+    out["found"] = _found_mask(det, chunk_len, min_strength, false_alarm_prob)
     return out
 
 
@@ -87,12 +116,13 @@ def receive_chunks_planar(
     chunks,
     chunk_len: int,
     ic_iterations: int = 2,
-    min_strength: float = 0.05,
+    min_strength: float | None = None,
     correct_cfo: bool = True,
     max_bursts_per_chunk: int = 1,
     dtype_name: str = "float32",
     method: str = "dense",
     equalizer: str = "zf",
+    false_alarm_prob: float = 1e-5,
 ):
     """Receive every burst in a batch of extended chunks.
 
@@ -100,6 +130,7 @@ def receive_chunks_planar(
     by :func:`chunk_with_lookahead` or the native StreamBuffer). Detection is
     restricted to owned positions (< chunk_len). This is the jittable core
     shared by :func:`receive_long_stream_planar` and the streaming service.
+    Detection decision: see :func:`_found_mask`.
     """
     from ..ops import planar_pipeline as pp
 
@@ -119,8 +150,7 @@ def receive_chunks_planar(
         rep = jnp.broadcast_to(
             chunks[..., None, :, :], chunks.shape[:-2] + (k, 2, C)
         )
-        det = {key: det_k[key].reshape(-1) for key in ("start", "cfo", "scale",
-                                                       "strength")}
+        det = _flatten_slots(det_k)
         bursts = pp.extract_bursts_planar(
             cfg, rep.reshape((-1, 2, C)), det, correct_cfo=correct_cfo
         )
@@ -129,7 +159,7 @@ def receive_chunks_planar(
         method=method, equalizer=equalizer,
     )
     out["detection"] = det
-    out["found"] = (det["start"] < chunk_len) & (det["strength"] > min_strength)
+    out["found"] = _found_mask(det, chunk_len, min_strength, false_alarm_prob)
     return out
 
 
@@ -138,12 +168,13 @@ def receive_long_stream_planar(
     stream,
     chunk_len: int = 2048,
     ic_iterations: int = 2,
-    min_strength: float = 0.05,
+    min_strength: float | None = None,
     correct_cfo: bool = True,
     max_bursts_per_chunk: int = 1,
     dtype_name: str = "float32",
     method: str = "dense",
     equalizer: str = "zf",
+    false_alarm_prob: float = 1e-5,
 ):
     """Planar (TPU-production) counterpart of :func:`receive_long_stream`.
 
@@ -164,4 +195,5 @@ def receive_long_stream_planar(
         dtype_name=dtype_name,
         method=method,
         equalizer=equalizer,
+        false_alarm_prob=false_alarm_prob,
     )

@@ -107,6 +107,51 @@ def test_sharded_detection_matches_unsharded_on_owner_chunk():
     )
 
 
+def test_sp_ownership_dedups_dual_detection():
+    """A burst visible to TWO shards - its owner and the left neighbour
+    (through the halo) - is detected by both, and exactly one survives the
+    ownership mask (the sharded analogue of the reference's partial-burst
+    deferral, extract_burst_cc_impl.cc:214-228)."""
+    mesh = make_mesh(dp=2, sp=4)
+    n_sp, chunk_len, batch = 4, 2048, 2
+    halo = CFG.frame_len + 64
+    data = _payloads(CFG, batch, seed=31).astype(np.complex64)
+    bursts = np.asarray(transmit_bursts(CFG, data))[:, 0, :]
+    stream = 0.01 * (
+        np.random.default_rng(3).standard_normal((batch, n_sp * chunk_len))
+        + 1j * np.random.default_rng(4).standard_normal((batch, n_sp * chunk_len))
+    ).astype(np.complex64)
+    # burst near the START of chunk 2: chunk 1's halo (= chunk 2's head)
+    # contains the full preamble, so shard 1 sees it too - unowned
+    p_local = 150
+    offset = 2 * chunk_len + p_local
+    stream[:, offset : offset + CFG.frame_len] += bursts
+
+    sharded = jax.device_put(jnp.asarray(stream), NamedSharding(mesh, P("dp", "sp")))
+    det, extracted = detect_bursts_sharded(CFG, mesh, sharded, halo=halo)
+
+    starts = np.asarray(det["start"])
+    owned = np.asarray(det["owned"])
+    found = np.asarray(det["found"])
+
+    core = p_local + CFG.cp_len
+    # owner (shard 2): owned + found at the local core-preamble start
+    assert np.all(np.abs(starts[:, 2] - core) <= 2)
+    assert np.all(owned[:, 2]) and np.all(found[:, 2])
+    # left neighbour (shard 1): detects the SAME burst inside its halo -
+    # start >= chunk_len, hence owned=False, found=False (the mask is the
+    # thing discriminating, not the search limit)
+    assert np.all(np.abs(starts[:, 1] - (chunk_len + core)) <= 2)
+    assert not owned[:, 1].any() and not found[:, 1].any()
+    # exactly one shard keeps the burst; noise shards are CFAR-rejected
+    assert np.all(found.sum(axis=1) == 1)
+
+    # the surviving extraction demodulates back to the payload
+    out = receive_bursts(CFG, jnp.asarray(extracted[:, 2, :]), ic_iterations=2)
+    d_hat = np.asarray(out["data"])
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 2e-2
+
+
 def test_dp_receiver_compiles_without_collectives():
     """Steady-state burst processing is embarrassingly parallel: the
     dp-sharded receiver program must contain NO cross-chip collectives
