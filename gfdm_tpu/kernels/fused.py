@@ -342,7 +342,8 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
                        ic_mode: str,
                        c_taps_r: tuple, c_taps_i: tuple, n_cnr: int,
                        frame_ref, e_ref, fw_ref, bfd_ref, f2_ref, sel_ref,
-                       act_ref, icop_ref, chan_ref, out_ref, met_ref):
+                       act_ref, icop_ref, cnri_ref, chan_ref, out_ref,
+                       met_ref):
     """ZF + IC with the interference operator applied as a per-block
     circular convolution.
 
@@ -394,6 +395,22 @@ def _rx_ic_circ_kernel(cfg: GfdmConfig, ic_iterations: int, qpsk_amp: float,
         # using the snr_lin estimate already produced in this kernel (same
         # formula as the XLA path, planar_pipeline equalizer="mmse")
         w = den / (den + 1.0 / jnp.maximum(snr_lin, 1e-6))
+        Yr = Yr * w
+        Yi = Yi * w
+    elif equalizer == "mmse_cnr":
+        # frequency-selective MMSE from the per-subcarrier CNR vector,
+        # interpolated to all N bins with the same smoothing machinery the
+        # channel estimate uses (one extra small matmul against the padded
+        # (pad_n, N) interpolation operator; XLA-path formula:
+        # planar_pipeline equalizer="mmse_cnr")
+        pad_n = cnri_ref.shape[0]
+        cnr_pad = sums[:, 2 : 2 + pad_n] * (snr_lin / (sig / n_cnr))
+        cnr_b = jnp.dot(
+            jnp.maximum(cnr_pad, 0.0), cnri_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        cnr_b = jnp.maximum(cnr_b, 1e-6)
+        w = cnr_b / (cnr_b + 1.0)
         Yr = Yr * w
         Yi = Yi * w
     elif equalizer != "zf":
@@ -536,6 +553,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
         n_cnr,
     )
     icop_rows = 3 * n if ic_mode == "matmul" else M - 1
+    cnri_rows = _cnri_pad(cfg).shape[0]
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -553,6 +571,7 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
             pl.BlockSpec((half, met_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((icop_rows, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cnri_rows, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -561,6 +580,19 @@ def _rx_ic_circ_call(cfg: GfdmConfig, batch: int, block: int,
         ),
         interpret=interpret,
     )
+
+
+@lru_cache(maxsize=16)
+def _cnri_pad(cfg: GfdmConfig) -> np.ndarray:
+    """(pad_n, N) CNR->per-bin interpolation operator, rows zero-padded to a
+    sublane multiple (the mmse_cnr equalizer's in-kernel matmul operand)."""
+    from ..ops import operators as _ops
+
+    cnri = _ops.cnr_interpolation_operator(cfg).T.astype(np.float32)
+    pad_n = ((cnri.shape[0] + 7) // 8) * 8
+    out = np.zeros((pad_n, cnri.shape[1]), dtype=np.float32)
+    out[: cnri.shape[0]] = cnri
+    return out
 
 
 @lru_cache(maxsize=16)
@@ -638,6 +670,7 @@ def rx_receiver_fused(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
         jnp.asarray(_met_selection(cfg)),
         jnp.asarray(active),
         jnp.asarray(icop),
+        jnp.asarray(_cnri_pad(cfg)),
     )
     return chan.reshape(B, 2, n), out.reshape(B, 2, n), met
 

@@ -34,11 +34,28 @@ __all__ = [
     "ic_receiver",
     "demap_resources",
     "qpsk_constellation",
+    "constellation_points",
 ]
 
 DEFAULT_DTYPE = jnp.complex64
 
 qpsk_constellation = np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j]) / np.sqrt(2.0)
+
+
+def constellation_points(name: str) -> np.ndarray:
+    """Named constellation -> complex points ('qpsk' | 'qam16').
+
+    The name form is what the streaming service / fused kernels take; the
+    points come from the golden model (ref.symbolmapping) so decisions agree
+    across the XLA, Pallas, and NumPy paths.
+    """
+    if name == "qpsk":
+        return qpsk_constellation
+    if name == "qam16":
+        from ..ref.symbolmapping import constellation
+
+        return constellation(4)
+    raise ValueError(f"unknown constellation {name!r} (use 'qpsk' or 'qam16')")
 
 
 def remove_cyclic_prefix(cfg: GfdmConfig, framed):

@@ -113,7 +113,8 @@ class StreamingReceiver:
     # derivation); set min_strength to override with a raw gated-peak floor
     min_strength: float | None = None
     false_alarm_prob: float = 1e-5
-    equalizer: str = "zf"
+    equalizer: str = "zf"  # "zf" | "mmse" | "mmse_cnr"
+    constellation: str = "qpsk"  # "qpsk" | "qam16"
     method: str = "dense"
     dtype_name: str = "float32"
     engine: str = "xla"  # "xla" | "fused" (Pallas one-kernel receiver)
@@ -152,6 +153,7 @@ class StreamingReceiver:
                     method=self.method,
                     equalizer=self.equalizer,
                     false_alarm_prob=self.false_alarm_prob,
+                    constellation=self.constellation,
                 )
 
             self._step = jax.jit(_step)
@@ -160,14 +162,15 @@ class StreamingReceiver:
         """Production TPU step: XLA detect/extract + per-shard Pallas receiver.
 
         shard_map keeps the one-kernel receiver running per device shard
-        ('dp') with zero collectives; requires the ZF/QPSK path the fused
-        kernel implements.
+        ('dp') with zero collectives. Full capability: all three equalizers
+        (zf / mmse / mmse_cnr) and both constellations (qpsk / qam16) run in
+        the same one-kernel VMEM pass.
         """
         from ..kernels import fused as fk
         from ..ops import planar_pipeline as pp
 
-        if self.equalizer != "zf":
-            raise ValueError("engine='fused' implements the ZF receiver only")
+        if self.equalizer not in ("zf", "mmse", "mmse_cnr"):
+            raise ValueError(f"unknown equalizer {self.equalizer!r}")
         cfg, chunk_len = self.cfg, self.chunk_len
         k = max(1, self.max_bursts_per_chunk)
 
@@ -181,6 +184,8 @@ class StreamingReceiver:
             out = fk.receive_bursts_fused(
                 cfg, bursts, ic_iterations=self.ic_iterations,
                 block=_pick_block(bursts.shape[0]),
+                equalizer=self.equalizer,
+                constellation=self.constellation,
             )
             return (out["data"], out["symbols"], out["channel"],
                     out["snr_lin"], out["cnrs"])

@@ -123,6 +123,7 @@ def receive_chunks_planar(
     method: str = "dense",
     equalizer: str = "zf",
     false_alarm_prob: float = 1e-5,
+    constellation: str = "qpsk",
 ):
     """Receive every burst in a batch of extended chunks.
 
@@ -154,9 +155,12 @@ def receive_chunks_planar(
         bursts = pp.extract_bursts_planar(
             cfg, rep.reshape((-1, 2, C)), det, correct_cfo=correct_cfo
         )
+    from ..ops.rx import constellation_points
+
     out = pp.receive_bursts_planar(
         cfg, bursts, ic_iterations=ic_iterations, dtype_name=dtype_name,
         method=method, equalizer=equalizer,
+        constellation=constellation_points(constellation),
     )
     out["detection"] = det
     out["found"] = _found_mask(det, chunk_len, min_strength, false_alarm_prob)
@@ -175,6 +179,7 @@ def receive_long_stream_planar(
     method: str = "dense",
     equalizer: str = "zf",
     false_alarm_prob: float = 1e-5,
+    constellation: str = "qpsk",
 ):
     """Planar (TPU-production) counterpart of :func:`receive_long_stream`.
 
@@ -196,4 +201,5 @@ def receive_long_stream_planar(
         method=method,
         equalizer=equalizer,
         false_alarm_prob=false_alarm_prob,
+        constellation=constellation,
     )
