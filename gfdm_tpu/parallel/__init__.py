@@ -6,3 +6,7 @@ from .mesh import (  # noqa: F401
     psum_metrics,
     shard_bursts,
 )
+
+# multi-host launch/worker helpers live in gfdm_tpu.parallel.multihost
+# (imported lazily there: the worker entry must control backend selection
+# before any device query)
