@@ -35,7 +35,7 @@ def main():
     import jax.numpy as jnp
 
     from gfdm_tpu import GfdmConfig
-    from gfdm_tpu.kernels.fused import rx_receiver_factored
+    from gfdm_tpu.kernels.fused import default_factored_block, rx_receiver_factored
     from gfdm_tpu.ops import planar as pl_ops
     from gfdm_tpu.ops.planar_pipeline import prepare, receive_bursts_planar
     from gfdm_tpu.ref import utils
@@ -44,7 +44,7 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     mode = sys.argv[4] if len(sys.argv) > 4 else "both"  # xla | pallas | both
-    blk = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    blk = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 -> measured default
 
     cfg = GfdmConfig(
         subcarriers=K,
@@ -77,7 +77,7 @@ def main():
     )
     pallas_fast = jax.jit(
         lambda b, s: rx_receiver_factored(cfg, b * s, ic_iterations=2,
-                                          block=min(blk, batch),
+                                          block=min(blk or default_factored_block(cfg), batch),
                                           estimator="fast")[1]
     )
 

@@ -1240,8 +1240,27 @@ def rx_receiver_hybrid(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     return chan.reshape(B, 2, n), out.reshape(B, 2, n)
 
 
+def default_factored_block(cfg: GfdmConfig) -> int:
+    """Largest measured-good VMEM block for the factored kernel at this K.
+
+    The kernel's live set scales with block*N plus the (2K, 2K) K-stage
+    matrix; measured sweet spots on a v5e-class chip: 128 up to K=128,
+    16 at K=512 (32/64 exceed VMEM; 8 collapses to grid-overhead-bound),
+    8 at K=1024.
+    """
+    K = cfg.subcarriers
+    if K <= 128:
+        return 128
+    if K <= 256:
+        return 32
+    if K <= 512:
+        return 16
+    return 8
+
+
 def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
-                         block: int = 128, interpret: bool | None = None,
+                         block: int | None = None,
+                         interpret: bool | None = None,
                          qpsk_amp: float = 2.0**-0.5,
                          estimator: str = "fused"):
     """Factorized one-kernel receiver (channel est + ZF + demod + IC).
@@ -1251,6 +1270,13 @@ def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
     M-stage/fold/M-IFFT) - ~6.7x less MXU work than the dense-operator
     kernel. The input reorder to the (n1, n2) layout is one cheap XLA gather.
 
+    ``block=None`` picks the measured-good VMEM block for this K
+    (default_factored_block). Measured at K=512/batch 4096 with fetch-forced
+    timing: 17.98 ms vs 105.6 ms for the XLA 'fast' path - 5.9x
+    (benchmarks/largek_crossover.py; the reference's FFT kernels are
+    size-independent O(N log N), modulator_kernel_cc.cc:98-141 - this is
+    the TPU answer at large K).
+
     estimator:
       "fused" — channel estimated inside the kernel via the dense (4K, 2N)
                 operator (one extra VMEM-resident matrix; K <= ~128).
@@ -1258,6 +1284,8 @@ def rx_receiver_factored(cfg: GfdmConfig, bursts, ic_iterations: int = 2,
                 estimator (ops/planar_fast) and streamed in per block; no
                 dense operator of any kind, so K >= 256 configs fit VMEM.
     """
+    if block is None:
+        block = default_factored_block(cfg)
     if interpret is None:
         interpret = not _on_tpu()
     fc = _factored_consts(cfg)
