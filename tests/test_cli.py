@@ -93,6 +93,49 @@ def test_truncated_and_clipping_captures(cfg, tmp_path, capsys):
     assert "clipping" not in capsys.readouterr().err
 
 
+def test_qam16_roundtrip_and_capacity(cfg):
+    """16-QAM doubles the per-burst byte capacity and survives the full
+    file chain (tx -> rx with CRC framing) plus a clean-channel simulate."""
+    rng = np.random.default_rng(11)
+    cap16 = payload_capacity_bytes(cfg.n_data_symbols, 4)
+    cap4 = payload_capacity_bytes(cfg.n_data_symbols, 2)
+    assert cap16 == 2 * cap4 + 4  # twice the bits, one CRC instead of two
+
+    payload = rng.integers(0, 256, 2 * cap16 - 5, dtype=np.uint8).tobytes()
+    syms, n = payload_to_symbols(cfg, payload, constellation="qam16")
+    assert n == 2
+    decoded = symbols_to_payloads(cfg, syms, constellation="qam16")
+    assert all(ok for ok, _ in decoded)
+
+    stream = tx_file(cfg, payload, constellation="qam16")
+    assert stream.size == 2 * cfg.padded_frame_len  # half the QPSK airtime
+    got, stats = rx_file(cfg, stream, constellation="qam16")
+    assert stats["crc_ok"] == stats["bursts"] == 2
+    assert got[: len(payload)] == payload
+
+    sim = simulate(cfg, n_bursts=4, snr_db=25.0, ic_iterations=2, seed=2,
+                   constellation="qam16")
+    assert sim["crc_ok"] == 4 and sim["payload_intact"]
+
+
+def test_cli_qam16_flag(cfg, tmp_path, capsys):
+    cap16 = payload_capacity_bytes(cfg.n_data_symbols, 4)
+    payload = np.arange(cap16, dtype=np.uint8).tobytes()
+    pin = tmp_path / "p.bin"
+    pin.write_bytes(payload)
+    iq = tmp_path / "iq.cf32"
+    out = tmp_path / "out.bin"
+    assert main(["tx", "--constellation", "qam16", "--infile", str(pin),
+                 "--outfile", str(iq)]) == 0
+    assert main(["rx", "--constellation", "qam16", "--infile", str(iq),
+                 "--outfile", str(out)]) == 0
+    assert out.read_bytes() == payload
+    capsys.readouterr()
+    assert main(["info", "--constellation", "qam16"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["payload_bytes_per_burst"] == cap16
+
+
 def test_simulate_awgn(cfg):
     stats = simulate(cfg, n_bursts=4, snr_db=20.0, ic_iterations=2, seed=1)
     assert stats["crc_ok"] == stats["bursts"] == 4
