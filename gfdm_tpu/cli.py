@@ -50,8 +50,8 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--cp-len", type=int, default=16)
     g.add_argument("--cs-len", type=int, default=8)
     g.add_argument("--filteralpha", type=float, default=0.2)
-    g.add_argument("--constellation", choices=("qpsk", "qam16"), default="qpsk",
-                   help="payload symbol mapping (qam16 doubles bytes/burst)")
+    g.add_argument("--constellation", choices=("qpsk", "qam16", "qam64"), default="qpsk",
+                   help="payload symbol mapping (qam16/qam64 = 2x/3x bytes/burst)")
 
 
 def build_config(args: argparse.Namespace) -> GfdmConfig:
@@ -186,12 +186,26 @@ def tx_file(cfg: GfdmConfig, payload: bytes, scale: float = 0.7,
     return shaped.reshape(-1)
 
 
+def default_ic_iterations(constellation: str) -> int:
+    """Decision-directed SIC passes needed for clean-channel convergence.
+
+    The GFDM self-interference scales with symbol energy, so the denser the
+    grid the more passes until residual < half the decision distance: 2
+    suffices for qpsk/qam16, 64-QAM needs 4 (measured on the canonical
+    config; cf. the reference QA's ic=64 belt-and-braces choice in
+    qa_advanced_receiver_sb_cc.py:82-119)."""
+    return 4 if constellation == "qam64" else 2
+
+
 def rx_file(
-    cfg: GfdmConfig, stream: np.ndarray, ic_iterations: int = 2,
+    cfg: GfdmConfig, stream: np.ndarray, ic_iterations: int | None = None,
     constellation: str = "qpsk",
 ) -> tuple[bytes, dict]:
     """IQ stream -> (recovered bytes from CRC-valid bursts, stats dict)."""
     from .runtime.receiver import receive_stream
+
+    if ic_iterations is None:
+        ic_iterations = default_ic_iterations(constellation)
 
     chunk = cfg.padded_frame_len
     n = stream.size // chunk
@@ -311,7 +325,7 @@ def simulate(
     cfg: GfdmConfig,
     n_bursts: int = 16,
     snr_db: float = 15.0,
-    ic_iterations: int = 2,
+    ic_iterations: int | None = None,
     multipath: bool = True,
     seed: int = 0,
     constellation: str = "qpsk",
@@ -331,6 +345,8 @@ def simulate(
     from .runtime import channel as chan
     from .runtime.receiver import receive_stream
 
+    if ic_iterations is None:
+        ic_iterations = default_ic_iterations(constellation)
     pts, order = _constellation(constellation)
     cap = payload_capacity_bytes(cfg.n_data_symbols, order)
     rng = np.random.default_rng(seed)
@@ -425,7 +441,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--infile", help="IQ input file")
     pr.add_argument("--outfile", required=True, help="payload output ('-' = stdout)")
     pr.add_argument("--iq-format", choices=("cf32", "sc16"), default="cf32")
-    pr.add_argument("--ic", type=int, default=2, help="IC iterations")
+    pr.add_argument("--ic", type=int, default=None,
+                    help="IC iterations (default 2; 4 for qam64, whose "
+                         "denser grid needs more SIC passes to converge)")
     pr.add_argument("--udp-port", type=int, default=None,
                     help="receive sc16 IQ datagrams on 127.0.0.1:PORT instead "
                          "of reading --infile (end capture with an empty "
@@ -437,7 +455,7 @@ def main(argv: list[str] | None = None) -> int:
     add_config_args(ps)
     ps.add_argument("--bursts", type=int, default=16)
     ps.add_argument("--snr-db", type=float, default=15.0)
-    ps.add_argument("--ic", type=int, default=2)
+    ps.add_argument("--ic", type=int, default=None)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--no-multipath", action="store_true")
     ps.set_defaults(fn=cmd_simulate)

@@ -88,7 +88,7 @@ def ber_sweep(
 ):
     """BER + EVM + estimated-SNR curve over the given SNR points.
 
-    ``constellation``: 'qpsk' or 'qam16' (Gray-labeled per the golden model).
+    ``constellation``: 'qpsk', 'qam16' or 'qam64' (Gray, per the golden model).
     Returns a dict of numpy arrays keyed by 'snr_db', 'ber', 'evm',
     'snr_est_db'.
     """

@@ -113,21 +113,24 @@ def _gdot(xr, xi, g_ref, n_in):
 
 
 # IC decision functions: integer per-axis levels (exact in bf16) + the
-# amplitude unit folded into the circulant tap constants. "qam16" is the
-# per-axis quantizer equivalent to nearest-point on the Gray 16-QAM grid
-# (ref.symbolmapping.constellation(4)).
-_IC_AMPS = {"qpsk": 2.0**-0.5, "qam16": 10.0**-0.5}
+# amplitude unit folded into the circulant tap constants. "qam16"/"qam64"
+# are per-axis quantizers equivalent to nearest-point on the Gray square
+# QAM grids (ref.symbolmapping.constellation(4)/(6)); per-axis == nearest
+# because Gray labeling is separable over I/Q.
+_IC_AMPS = {"qpsk": 2.0**-0.5, "qam16": 10.0**-0.5, "qam64": 42.0**-0.5}
 
 
 def _ic_decide(dr, di, kind: str):
     if kind == "qpsk":
         return jnp.where(dr >= 0, 1.0, -1.0), jnp.where(di >= 0, 1.0, -1.0)
-    if kind == "qam16":
-        s = float(np.sqrt(10.0))
+    if kind in ("qam16", "qam64"):
+        # odd-level quantizer: u*scale -> nearest of {-(m),-m+2,..,+m}
+        scale = {"qam16": 10.0, "qam64": 42.0}[kind] ** 0.5
+        lim = {"qam16": 3.0, "qam64": 7.0}[kind]
 
         def q(u):
             return jnp.clip(
-                2.0 * jnp.round((u * s - 1.0) / 2.0) + 1.0, -3.0, 3.0
+                2.0 * jnp.round((u * scale - 1.0) / 2.0) + 1.0, -lim, lim
             )
 
         return q(dr), q(di)

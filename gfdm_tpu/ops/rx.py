@@ -43,7 +43,7 @@ qpsk_constellation = np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j]) / np.sqrt(2.0)
 
 
 def constellation_points(name: str) -> np.ndarray:
-    """Named constellation -> complex points ('qpsk' | 'qam16').
+    """Named constellation -> complex points ('qpsk' | 'qam16' | 'qam64').
 
     The name form is what the streaming service / fused kernels take; the
     points come from the golden model (ref.symbolmapping) so decisions agree
@@ -51,11 +51,13 @@ def constellation_points(name: str) -> np.ndarray:
     """
     if name == "qpsk":
         return qpsk_constellation
-    if name == "qam16":
+    if name in ("qam16", "qam64"):
         from ..ref.symbolmapping import constellation
 
-        return constellation(4)
-    raise ValueError(f"unknown constellation {name!r} (use 'qpsk' or 'qam16')")
+        return constellation({"qam16": 4, "qam64": 6}[name])
+    raise ValueError(
+        f"unknown constellation {name!r} (use 'qpsk', 'qam16' or 'qam64')"
+    )
 
 
 def remove_cyclic_prefix(cfg: GfdmConfig, framed):

@@ -8,28 +8,43 @@ import numpy as np
 
 __all__ = ["constellation", "bits_to_symbols", "symbols_to_bits", "hard_decide"]
 
-def _gray_16qam() -> np.ndarray:
-    """Gray-coded 16-QAM, unit average energy, index = 4 bits (I msb pair,
-    Q lsb pair is NOT the layout: bits [b3 b2 b1 b0] map b3b2 -> I level,
-    b1b0 -> Q level with Gray order 00,01,11,10 -> -3,-1,+1,+3)."""
-    gray_levels = {0b00: -3.0, 0b01: -1.0, 0b11: 1.0, 0b10: 3.0}
-    pts = np.empty(16, dtype=np.complex128)
-    for idx in range(16):
-        i_lvl = gray_levels[(idx >> 2) & 0b11]
-        q_lvl = gray_levels[idx & 0b11]
-        pts[idx] = i_lvl + 1j * q_lvl
-    return pts / np.sqrt(10.0)  # E[|x|^2] = (2/4)(1+9) = 10 before scaling
+def _gray_levels(nbits: int) -> dict[int, float]:
+    """Per-axis Gray code -> odd amplitude level for 2**nbits levels.
+
+    Binary-reflected Gray order walks the levels monotonically, so adjacent
+    levels differ in one bit and a per-axis quantizer equals nearest-point.
+    """
+    n = 1 << nbits
+    return {(i ^ (i >> 1)): float(2 * i - (n - 1)) for i in range(n)}
+
+
+def _gray_square_qam(order: int) -> np.ndarray:
+    """Gray-coded square QAM, unit average energy; index = `order` bits with
+    the msb half selecting the I level and the lsb half the Q level.
+
+    order=4 reproduces the classic Gray 16-QAM (00,01,11,10 -> -3,-1,+1,+3);
+    order=6 is Gray 64-QAM."""
+    half = order // 2
+    levels = _gray_levels(half)
+    mask = (1 << half) - 1
+    pts = np.empty(1 << order, dtype=np.complex128)
+    for idx in range(1 << order):
+        pts[idx] = levels[(idx >> half) & mask] + 1j * levels[idx & mask]
+    energy = np.mean(np.abs(pts) ** 2)  # 10 for 16-QAM, 42 for 64-QAM
+    return pts / np.sqrt(energy)
 
 
 _CONSTELLATIONS = {
     1: np.array([1.0 + 0.0j, -1.0 + 0.0j]),
     2: np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j]) / np.sqrt(2.0),
-    4: _gray_16qam(),
+    4: _gray_square_qam(4),
+    6: _gray_square_qam(6),
 }
 
 
 def constellation(order: int) -> np.ndarray:
-    """Points for 2**order-ary mapping (1=BPSK, 2=QPSK, 4=Gray 16-QAM)."""
+    """Points for 2**order-ary mapping (1=BPSK, 2=QPSK, 4=Gray 16-QAM,
+    6=Gray 64-QAM)."""
     return _CONSTELLATIONS[order].copy()
 
 

@@ -114,7 +114,7 @@ class StreamingReceiver:
     min_strength: float | None = None
     false_alarm_prob: float = 1e-5
     equalizer: str = "zf"  # "zf" | "mmse" | "mmse_cnr"
-    constellation: str = "qpsk"  # "qpsk" | "qam16"
+    constellation: str = "qpsk"  # "qpsk" | "qam16" | "qam64"
     method: str = "dense"
     dtype_name: str = "float32"
     engine: str = "xla"  # "xla" | "fused" (Pallas one-kernel receiver)
@@ -163,7 +163,7 @@ class StreamingReceiver:
 
         shard_map keeps the one-kernel receiver running per device shard
         ('dp') with zero collectives. Full capability: all three equalizers
-        (zf / mmse / mmse_cnr) and both constellations (qpsk / qam16) run in
+        (zf / mmse / mmse_cnr) and all constellations (qpsk / qam16 / qam64) run in
         the same one-kernel VMEM pass.
         """
         from ..kernels import fused as fk

@@ -118,6 +118,31 @@ def test_qam16_roundtrip_and_capacity(cfg):
     assert sim["crc_ok"] == 4 and sim["payload_intact"]
 
 
+def test_qam64_roundtrip_and_capacity(cfg):
+    """64-QAM triples the per-burst bit capacity and survives the full
+    file chain (tx -> rx with CRC framing) plus a clean-channel simulate."""
+    rng = np.random.default_rng(12)
+    cap64 = payload_capacity_bytes(cfg.n_data_symbols, 6)
+    cap4 = payload_capacity_bytes(cfg.n_data_symbols, 2)
+    assert cap64 > 3 * cap4  # three times the bits, one CRC instead of three
+
+    payload = rng.integers(0, 256, 2 * cap64 - 7, dtype=np.uint8).tobytes()
+    syms, n = payload_to_symbols(cfg, payload, constellation="qam64")
+    assert n == 2
+    decoded = symbols_to_payloads(cfg, syms, constellation="qam64")
+    assert all(ok for ok, _ in decoded)
+
+    stream = tx_file(cfg, payload, constellation="qam64")
+    assert stream.size == 2 * cfg.padded_frame_len
+    got, stats = rx_file(cfg, stream, constellation="qam64")
+    assert stats["crc_ok"] == stats["bursts"] == 2
+    assert got[: len(payload)] == payload
+
+    sim = simulate(cfg, n_bursts=4, snr_db=40.0, ic_iterations=2, seed=2,
+                   constellation="qam64")
+    assert sim["crc_ok"] == 4 and sim["payload_intact"]
+
+
 def test_cli_qam16_flag(cfg, tmp_path, capsys):
     cap16 = payload_capacity_bytes(cfg.n_data_symbols, 4)
     payload = np.arange(cap16, dtype=np.uint8).tobytes()

@@ -331,8 +331,44 @@ def test_snr_estimator_within_1db():
 
 
 def test_symbolmapping_roundtrip():
-    pts = symbolmapping.constellation(2)
-    bits = np.random.default_rng(0).integers(0, 2, 64)
-    syms = symbolmapping.bits_to_symbols(bits, pts)
-    back = symbolmapping.symbols_to_bits(syms, pts)
-    np.testing.assert_array_equal(bits, back)
+    for order in (1, 2, 4, 6):
+        pts = symbolmapping.constellation(order)
+        bits = np.random.default_rng(order).integers(0, 2, 64 * order)
+        syms = symbolmapping.bits_to_symbols(bits, pts)
+        back = symbolmapping.symbols_to_bits(syms, pts)
+        np.testing.assert_array_equal(bits, back)
+
+
+def test_gray_qam_properties():
+    """Square Gray QAM invariants: unit energy, distinct points, adjacent
+    per-axis levels differ in exactly one label bit, and the separable
+    per-axis quantizer equals the nearest-point decision (the property the
+    fused kernels' _ic_decide relies on)."""
+    for order, lim, energy in ((4, 3, 10.0), (6, 7, 42.0)):
+        pts = symbolmapping.constellation(order)
+        assert pts.size == 1 << order
+        assert abs(np.mean(np.abs(pts) ** 2) - 1.0) < 1e-12
+        assert len(set(np.round(pts, 9))) == pts.size
+        # Gray property per axis: walk levels in ascending order, labels of
+        # neighbors differ by one bit
+        half = order // 2
+        scale = np.sqrt(energy)
+        re_label = {}
+        for idx, p in enumerate(pts):
+            re_label.setdefault(int(round(p.real * scale)), set()).add(idx >> half)
+        levels = sorted(re_label)
+        assert levels == list(range(-lim, lim + 1, 2))
+        labels = [re_label[l].pop() for l in levels]
+        for a, b in zip(labels, labels[1:]):
+            assert bin(a ^ b).count("1") == 1
+        # per-axis quantizer == nearest point
+        rng = np.random.default_rng(7)
+        noisy = (rng.normal(size=512) + 1j * rng.normal(size=512)) * 0.8
+        nearest = symbolmapping.hard_decide(noisy, pts)
+
+        def q(u):
+            return np.clip(2.0 * np.round((u * scale - 1.0) / 2.0) + 1.0,
+                           -lim, lim)
+
+        per_axis = (q(noisy.real) + 1j * q(noisy.imag)) / scale
+        np.testing.assert_allclose(per_axis, nearest, atol=1e-12)

@@ -1,6 +1,7 @@
 """Pallas fused kernels vs the XLA planar pipeline (interpret mode on CPU)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gfdm_tpu import GfdmConfig
 from gfdm_tpu.kernels import rx_core_fused, tx_frame_fused
@@ -271,16 +272,17 @@ def test_link_single_fused_matches_split_link():
     np.testing.assert_allclose(float(got[2]), float(ref[2]), atol=1e-5)
 
 
-def test_rx_receiver_fused_qam16_matches_xla():
-    """Fused receiver's per-axis 16-QAM IC decisions == XLA nearest-point."""
+@pytest.mark.parametrize("name,order", [("qam16", 4), ("qam64", 6)])
+def test_rx_receiver_fused_qam_matches_xla(name, order):
+    """Fused receiver's per-axis Gray-QAM IC decisions == XLA nearest-point."""
     from gfdm_tpu.kernels.fused import rx_receiver_fused
     from gfdm_tpu.ops.planar_pipeline import receive_bursts_planar
     from gfdm_tpu.ref.symbolmapping import bits_to_symbols, constellation
 
     rng = np.random.default_rng(17)
-    pts = constellation(4)
+    pts = constellation(order)
     d = np.stack([
-        bits_to_symbols(rng.integers(0, 2, 4 * CFG.n_data_symbols), pts)
+        bits_to_symbols(rng.integers(0, 2, order * CFG.n_data_symbols), pts)
         for _ in range(8)
     ]).astype(np.complex64)
     data = jnp.asarray(pl_ops.to_planar(d))
@@ -289,7 +291,7 @@ def test_rx_receiver_fused_qam16_matches_xla():
         CFG, bursts, ic_iterations=2, constellation=pts
     )
     _chan, got, _met = rx_receiver_fused(
-        CFG, bursts, ic_iterations=2, block=4, constellation="qam16"
+        CFG, bursts, ic_iterations=2, block=4, constellation=name
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref["symbols"]).reshape(got.shape),
