@@ -25,12 +25,17 @@ from gfdm_tpu.eval import ber_sweep  # noqa: E402
 
 def main():
     cfg = GfdmConfig()
-    snrs = np.arange(0, 22, 3, dtype=float)
-    res = ber_sweep(cfg, snrs, bursts_per_point=256, ic_iterations=2)
-    print(f"{'SNR dB':>7} {'BER':>10} {'EVM':>8} {'est SNR dB':>11}")
-    for i, s in enumerate(res["snr_db"]):
-        print(f"{s:7.1f} {res['ber'][i]:10.2e} {res['evm'][i]:8.4f} "
-              f"{res['snr_est_db'][i]:11.2f}")
+    sweeps = [("qpsk", np.arange(0, 22, 3, dtype=float), 2),
+              ("qam16", np.arange(6, 28, 3, dtype=float), 2),
+              ("qam64", np.arange(12, 34, 3, dtype=float), 4)]
+    for name, snrs, ic in sweeps:
+        res = ber_sweep(cfg, snrs, bursts_per_point=256, ic_iterations=ic,
+                        constellation=name)
+        print(f"--- {name} (ic={ic}) ---")
+        print(f"{'SNR dB':>7} {'BER':>10} {'EVM':>8} {'est SNR dB':>11}")
+        for i, s in enumerate(res["snr_db"]):
+            print(f"{s:7.1f} {res['ber'][i]:10.2e} {res['evm'][i]:8.4f} "
+                  f"{res['snr_est_db'][i]:11.2f}")
 
 
 if __name__ == "__main__":

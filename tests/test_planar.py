@@ -271,3 +271,14 @@ def test_maxlog_llrs_generic():
     llr = np.asarray(maxlog_llrs(noisy, pts16, np.float32(0.01)))
     hard_bits = (llr < 0).astype(np.uint8).reshape(-1)
     np.testing.assert_array_equal(hard_bits, bits)
+
+    # 64-QAM: same sign-consistency property on the denser grid
+    pts64 = sm.constellation(6)
+    bits = rng.integers(0, 2, 128 * 6).astype(np.uint8)
+    syms = sm.bits_to_symbols(bits, pts64).astype(np.complex64)
+    noisy = syms + 0.01 * (
+        rng.standard_normal(syms.shape) + 1j * rng.standard_normal(syms.shape)
+    ).astype(np.complex64)
+    llr = np.asarray(maxlog_llrs(noisy, pts64, np.float32(0.005)))
+    hard_bits = (llr < 0).astype(np.uint8).reshape(-1)
+    np.testing.assert_array_equal(hard_bits, bits)
