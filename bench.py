@@ -48,9 +48,11 @@ def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
         # Gauss matmul triple per IC iteration (EVM identical to the exact
         # f32 conv IC at 4 decimals; the bf16 rounding perturbs a -20 dB
         # correction term by -68 dB)
+        # block=256 measured best at the canonical config (round-3 sweep:
+        # 128 -> 3.9-4.2, 256 -> 4.2-4.35 Gs/s; see docs/STATUS.md)
         step = jax.jit(
             lambda d, s: link_single_fused(
-                cfg, d * s, ic_iterations=ic_iterations, block=128,
+                cfg, d * s, ic_iterations=ic_iterations, block=256,
                 ic_mode="matmul",
             )
         )
@@ -144,8 +146,8 @@ def main():
 
     cfg = GfdmConfig()
     # default sized so the ~3.5 ms per-dispatch tunnel latency is amortized
-    # (measured: 2.81 Gs/s @32k, 3.06 @64k, 3.43 @128k, 3.65 @256k)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
+    # (measured at block 256: 4.20 Gs/s @256k, 4.35 @512k)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     cpu_dt_per_frame = _bench_cpu_golden(cfg)
