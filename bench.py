@@ -48,11 +48,12 @@ def _bench_tpu(cfg, batch=8192, iters=10, ic_iterations=2):
         # Gauss matmul triple per IC iteration (EVM identical to the exact
         # f32 conv IC at 4 decimals; the bf16 rounding perturbs a -20 dB
         # correction term by -68 dB)
-        # block=256 measured best at the canonical config (round-3 sweep:
-        # 128 -> 3.9-4.2, 256 -> 4.2-4.35 Gs/s; see docs/STATUS.md)
+        # block=None self-selects the measured-best VMEM block (256 at the
+        # canonical config; round-3 sweep: 128 -> 3.9-4.2, 256 -> 4.2-4.45
+        # Gs/s, 512 exceeds VMEM; see docs/STATUS.md)
         step = jax.jit(
             lambda d, s: link_single_fused(
-                cfg, d * s, ic_iterations=ic_iterations, block=256,
+                cfg, d * s, ic_iterations=ic_iterations, block=None,
                 ic_mode="matmul",
             )
         )

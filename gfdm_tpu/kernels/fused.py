@@ -1578,8 +1578,22 @@ def _demap_selection(cfg: GfdmConfig) -> np.ndarray:
     return dsel
 
 
+def default_link_block(cfg: GfdmConfig) -> int:
+    """Largest measured-good VMEM block for the one-kernel link.
+
+    The link's live set scales with block * frame_len (waveform + FD
+    planes) plus the dense operator stacks. Measured on a v5e-class chip at
+    the canonical N=576: block 256 is fastest (4.45 Gs/s; 128 ~5-8% slower,
+    512 exceeds VMEM). Scale the budget inversely with N and round down to
+    a power of two for clean grid tiling.
+    """
+    budget = 256 * 576  # floats of waveform per grid step, canonical point
+    b = max(8, budget // max(cfg.block_len, 1))
+    return 1 << (b.bit_length() - 1)
+
+
 def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
-                      block: int = 64, interpret: bool | None = None,
+                      block: int | None = 64, interpret: bool | None = None,
                       qpsk_amp: float | None = None,
                       dtype_name: str = "float32",
                       constellation: str = "qpsk",
@@ -1596,6 +1610,8 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if block is None:
+        block = default_link_block(cfg)
     mats = _device_mats(cfg, dtype_name)
     c = _small_consts(cfg, "float32")
     n = cfg.block_len

@@ -260,6 +260,24 @@ def test_rx_receiver_factored_fast_large_K():
     assert np.all(np.sign(got_c.imag) == np.sign(d.imag))
 
 
+def test_default_link_block_and_auto_select():
+    """block=None resolves to the measured-tuned VMEM block (256 at the
+    canonical N=576, scaling down for larger frames) and still runs with
+    small batches (clamped to the batch size)."""
+    from gfdm_tpu.kernels.fused import default_link_block, link_single_fused
+
+    assert default_link_block(CFG) == 256
+    big = GfdmConfig(subcarriers=512, active_subcarriers=500)
+    assert default_link_block(big) == 32
+    assert default_link_block(GfdmConfig(subcarriers=128)) == 128
+
+    data = _planar_payload(8, seed=91)
+    ref = link_single_fused(CFG, data, ic_iterations=1, block=4)
+    got = link_single_fused(CFG, data, ic_iterations=1, block=None)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=5e-5)
+
+
 def test_link_single_fused_matches_split_link():
     """One-kernel Tx->VMEM burst->Rx link == the split two-kernel link."""
     from gfdm_tpu.kernels.fused import link_single_fused, link_step_fused
