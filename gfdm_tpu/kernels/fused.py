@@ -1610,6 +1610,7 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
     """
     if interpret is None:
         interpret = not _on_tpu()
+    auto_block = block is None
     if block is None:
         block = default_link_block(cfg)
     mats = _device_mats(cfg, dtype_name)
@@ -1621,6 +1622,11 @@ def link_single_fused(cfg: GfdmConfig, data, ic_iterations: int = 2,
         active[0, k * cfg.timeslots : (k + 1) * cfg.timeslots] = 1.0
     B = data.shape[0]
     block = min(block, B)
+    if auto_block:
+        # shrink to the largest power-of-two divisor of B so the auto path
+        # never trips the multiple-of-block requirement (ADVICE r3)
+        while block > 1 and B % block:
+            block //= 2
     if B % block:
         raise ValueError(f"batch {B} must be a multiple of block {block}")
     amp = _IC_AMPS[constellation] if qpsk_amp is None else float(qpsk_amp)

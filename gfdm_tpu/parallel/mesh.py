@@ -79,6 +79,7 @@ def detect_bursts_sharded(
     halo: int | None = None,
     planar: bool = False,
     false_alarm_prob: float = 1e-5,
+    max_bursts_per_chunk: int = 1,
 ):
     """Burst detection over a stream whose sample axis is sharded on 'sp'.
 
@@ -93,13 +94,19 @@ def detect_bursts_sharded(
     sharded analogue of the reference's partial-burst deferral,
     /root/reference/lib/extract_burst_cc_impl.cc:214-228).
 
-    Per shard, TWO detection picks are taken (peak suppression one frame
-    apart) and the primary is chosen as: strongest CFAR-valid OWNED pick,
-    else strongest CFAR-valid pick, else the raw argmax - so a neighbour's
-    strong burst sitting in the halo cannot shadow a weaker owned burst.
+    Per shard, ``max_bursts_per_chunk + 1`` detection picks are taken
+    (iterative peak suppression one frame apart - the extra pick absorbs a
+    neighbour's boundary burst sitting in the halo) and the kept slots are
+    ranked: strongest CFAR-valid OWNED picks, then CFAR-valid picks, then raw
+    strength - so a neighbour's strong halo burst cannot shadow a weaker
+    owned one, and densely packed owned bursts (up to one per frame length,
+    the reference's several-tags-per-work-call case,
+    /root/reference/lib/extract_burst_cc_impl.cc:131-149) all survive.
 
     Returns (detection dict incl. ``owned``/``found``, extracted bursts) with
-    per-chip leading layout re-assembled to (batch, n_sp, ...).
+    per-chip leading layout re-assembled to (batch, n_sp, ...) when
+    ``max_bursts_per_chunk == 1`` (the legacy single-slot layout) or
+    (batch, n_sp, k, ...) otherwise.
     """
     if halo is None:
         halo = cfg.padded_frame_len
@@ -107,22 +114,26 @@ def detect_bursts_sharded(
     n_sp = mesh.shape["sp"]
     total = stream.shape[-1]
     chunk_len = total // n_sp
+    k_slots = int(max_bursts_per_chunk)
+    if k_slots < 1:
+        raise ValueError("max_bursts_per_chunk must be >= 1")
 
     if planar:
         from ..ops import planar_pipeline as pp
 
         in_spec = P("dp", None, "sp")
-        burst_spec = P("dp", "sp", None, None)
+        burst_spec = P("dp", "sp", None, None, None)
         detect_topk = pp.detect_bursts_topk_planar
         extract = pp.extract_bursts_planar
     else:
         in_spec = P("dp", "sp")
-        burst_spec = P("dp", "sp", None)
+        burst_spec = P("dp", "sp", None, None)
         detect_topk = sync_ops.detect_bursts_topk
         extract = burst_ops.extract_bursts
 
     det_keys = ("start", "cfo", "scale", "strength", "ac_peak",
                 "noise_floor", "owned", "found")
+    val_keys = ("start", "cfo", "scale", "strength", "ac_peak")
 
     @jax.jit  # keep shard_map traced: the eager path cannot re-enter jit
     @partial(
@@ -130,42 +141,59 @@ def detect_bursts_sharded(
         mesh=mesh,
         in_specs=in_spec,
         out_specs=(
-            {k: P("dp", "sp") for k in det_keys},
+            {k: P("dp", "sp", None) for k in det_keys},
             burst_spec,
         ),
     )
     def _shard_fn(local):
         # local: (batch/dp, chunk_len) or (batch/dp, 2, chunk_len)
         extended = halo_exchange_right(local, halo, "sp")
-        det2 = detect_topk(cfg, extended, max_bursts=2)  # full-window search
-        owned2 = det2["start"] < chunk_len
-        valid2 = sync_ops.detection_valid(det2, false_alarm_prob)
+        det_all = detect_topk(cfg, extended, max_bursts=k_slots + 1)
+        owned_all = det_all["start"] < chunk_len
+        valid_all = sync_ops.detection_valid(det_all, false_alarm_prob)
         # rank: valid & owned > valid > raw strength (strengths are O(1))
-        score = det2["strength"] + 1e6 * (valid2 & owned2) + 1e3 * valid2
-        best = jnp.argmax(score, axis=-1)
+        score = det_all["strength"] + 1e6 * (valid_all & owned_all) + 1e3 * valid_all
+        order = jnp.argsort(-score, axis=-1)[..., :k_slots]
         det = {
-            k: jnp.take_along_axis(det2[k], best[..., None], axis=-1)[..., 0]
-            for k in ("start", "cfo", "scale", "strength", "ac_peak")
+            k: jnp.take_along_axis(det_all[k], order, axis=-1)
+            for k in val_keys
         }
-        det["noise_floor"] = det2["noise_floor"]
+        det["noise_floor"] = jnp.broadcast_to(
+            det_all["noise_floor"][..., None], det["start"].shape
+        )
         det["owned"] = det["start"] < chunk_len
         det["found"] = det["owned"] & jnp.take_along_axis(
-            valid2, best[..., None], axis=-1
-        )[..., 0]
-        bursts = extract(cfg, extended, det)
-        out_det = {k: det[k][..., None] for k in det_keys}
+            valid_all, order, axis=-1
+        )
+        b_local = extended.shape[0]
+        C = extended.shape[-1]
+        flat = {k: det[k].reshape(-1) for k in val_keys}
         if planar:
-            bursts = bursts[:, None, :, :]  # (b, 1, 2, L)
+            rep = jnp.broadcast_to(
+                extended[:, None, :, :], (b_local, k_slots, 2, C)
+            )
+            bursts = extract(cfg, rep.reshape(-1, 2, C), flat)
+            bursts = bursts.reshape(b_local, 1, k_slots, 2, -1)
         else:
-            bursts = bursts[..., None, :]  # (b, 1, L)
+            rep = jnp.broadcast_to(extended[:, None, :], (b_local, k_slots, C))
+            bursts = extract(cfg, rep.reshape(-1, C), flat)
+            bursts = bursts.reshape(b_local, 1, k_slots, -1)
+        out_det = {k: det[k][:, None, :] for k in det_keys}
         return out_det, bursts
 
     det, bursts = _shard_fn(stream)
-    det = {k: v.reshape(v.shape[0], n_sp) for k, v in det.items()}
-    if planar:
-        bursts = bursts.reshape(bursts.shape[0], n_sp, 2, -1)
+    if k_slots == 1:
+        det = {k: v.reshape(v.shape[0], n_sp) for k, v in det.items()}
+        if planar:
+            bursts = bursts.reshape(bursts.shape[0], n_sp, 2, -1)
+        else:
+            bursts = bursts.reshape(bursts.shape[0], n_sp, -1)
     else:
-        bursts = bursts.reshape(bursts.shape[0], n_sp, -1)
+        det = {k: v.reshape(v.shape[0], n_sp, k_slots) for k, v in det.items()}
+        if planar:
+            bursts = bursts.reshape(bursts.shape[0], n_sp, k_slots, 2, -1)
+        else:
+            bursts = bursts.reshape(bursts.shape[0], n_sp, k_slots, -1)
     return det, bursts
 
 

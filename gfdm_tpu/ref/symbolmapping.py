@@ -43,8 +43,7 @@ _CONSTELLATIONS = {
 
 
 def constellation(order: int) -> np.ndarray:
-    """Points for 2**order-ary mapping (1=BPSK, 2=QPSK, 4=Gray 16-QAM,
-    6=Gray 64-QAM)."""
+    """Points for 2**order-ary mapping (1=BPSK, 2=QPSK, 4=Gray 16-QAM, 6=Gray 64-QAM)."""
     return _CONSTELLATIONS[order].copy()
 
 

@@ -152,6 +152,57 @@ def test_sp_ownership_dedups_dual_detection():
     assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 2e-2
 
 
+def test_sp_topk_keeps_dense_bursts_per_shard():
+    """With max_bursts_per_chunk > 1 each sp shard keeps ALL its owned
+    bursts (the sharded analogue of the reference processing several tags
+    per work() call, extract_burst_cc_impl.cc:131-149). Round-3 verdict
+    item 8: the single-slot path silently dropped the second burst."""
+    mesh = make_mesh(dp=2, sp=4)
+    n_sp, chunk_len, batch = 4, 4096, 2
+    halo = CFG.frame_len + 64
+    data_a = _payloads(CFG, batch, seed=41).astype(np.complex64)
+    data_b = _payloads(CFG, batch, seed=43).astype(np.complex64)
+    bursts_a = np.asarray(transmit_bursts(CFG, data_a))[:, 0, :]
+    bursts_b = np.asarray(transmit_bursts(CFG, data_b))[:, 0, :]
+    stream = 0.01 * (
+        np.random.default_rng(5).standard_normal((batch, n_sp * chunk_len))
+        + 1j * np.random.default_rng(6).standard_normal((batch, n_sp * chunk_len))
+    ).astype(np.complex64)
+    # TWO bursts inside chunk 1, more than a frame apart
+    off_a = chunk_len + 100
+    off_b = chunk_len + 100 + CFG.frame_len + 400
+    stream[:, off_a : off_a + CFG.frame_len] += bursts_a
+    stream[:, off_b : off_b + CFG.frame_len] += bursts_b
+
+    sharded = jax.device_put(jnp.asarray(stream), NamedSharding(mesh, P("dp", "sp")))
+    det, extracted = detect_bursts_sharded(
+        CFG, mesh, sharded, halo=halo, max_bursts_per_chunk=2
+    )
+
+    found = np.asarray(det["found"])  # (batch, n_sp, 2)
+    starts = np.asarray(det["start"])
+    assert found.shape == (batch, n_sp, 2)
+    # shard 1 keeps both; nothing else fires
+    assert np.all(found[:, 1, :].sum(axis=-1) == 2)
+    assert np.all(found[:, [0, 2, 3], :].sum(axis=(-2, -1)) == 0)
+    got = np.sort(starts[:, 1, :], axis=-1)
+    expect = np.sort([off_a - chunk_len + CFG.cp_len, off_b - chunk_len + CFG.cp_len])
+    assert np.all(np.abs(got - expect[None, :]) <= 2)
+
+    # both extractions demodulate back to their payloads
+    slot_of_a = np.argmin(np.abs(starts[:, 1, :] - expect[0]), axis=-1)
+    for b in range(batch):
+        ia, ib = slot_of_a[b], 1 - slot_of_a[b]
+        out_a = receive_bursts(CFG, jnp.asarray(extracted[b : b + 1, 1, ia]),
+                               ic_iterations=2)
+        out_b = receive_bursts(CFG, jnp.asarray(extracted[b : b + 1, 1, ib]),
+                               ic_iterations=2)
+        assert utils.evm(utils.qpsk_hard_map(np.asarray(out_a["data"])),
+                         data_a[b : b + 1]) < 2e-2
+        assert utils.evm(utils.qpsk_hard_map(np.asarray(out_b["data"])),
+                         data_b[b : b + 1]) < 2e-2
+
+
 def test_dp_receiver_compiles_without_collectives():
     """Steady-state burst processing is embarrassingly parallel: the
     dp-sharded receiver program must contain NO cross-chip collectives
