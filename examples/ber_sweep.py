@@ -38,5 +38,31 @@ def main():
                   f"{res['snr_est_db'][i]:11.2f}")
 
 
+def multipath_comparison():
+    """zf vs mmse vs mmse_cnr under a frequency-selective Rayleigh channel.
+
+    The mmse equalizers' benefit over the reference's plain ZF divide
+    (receiver_kernel_cc.cc:309-320): no noise amplification on faded bins -
+    visible as a 3-4x EVM reduction; uncoded hard-decision BER is within
+    noise of ZF (faded symbols are lost either way - coding recovers them,
+    see examples/coded_link.py).
+    """
+    cfg = GfdmConfig()
+    snrs = np.arange(0, 22, 3, dtype=float)
+    print("\n--- multipath (8-tap Rayleigh, qam16) ---")
+    res = {eq: ber_sweep(cfg, snrs, bursts_per_point=256, ic_iterations=2,
+                         constellation="qam16", channel="multipath",
+                         equalizer=eq, seed=7)
+           for eq in ("zf", "mmse", "mmse_cnr")}
+    print(f"{'SNR dB':>7} {'BER zf':>10} {'BER mmse':>10} {'BER cnr':>10} "
+          f"{'EVM zf':>8} {'EVM mmse':>9} {'EVM cnr':>8}")
+    for i, s in enumerate(snrs):
+        print(f"{s:7.1f} {res['zf']['ber'][i]:10.2e} "
+              f"{res['mmse']['ber'][i]:10.2e} {res['mmse_cnr']['ber'][i]:10.2e} "
+              f"{res['zf']['evm'][i]:8.4f} {res['mmse']['evm'][i]:9.4f} "
+              f"{res['mmse_cnr']['evm'][i]:8.4f}")
+
+
 if __name__ == "__main__":
     main()
+    multipath_comparison()

@@ -34,9 +34,46 @@ def planar_to_bits(symbols):
     return jnp.moveaxis(symbols < 0.0, -2, -1)
 
 
-@lru_cache(maxsize=16)
+def _apply_multipath(key, bursts, n_taps: int, decay: float = 1.0):
+    """Per-burst random frequency-selective Rayleigh channel (planar).
+
+    Taps are CN(0, p_l) with an exponential power-delay profile
+    p_l ~ exp(-decay*l), normalized to unit total power; tap 0 keeps the
+    burst causally aligned and ``n_taps <= cp_len`` keeps all ISI inside the
+    cyclic prefix. The analogue of the reference QA's np.convolve channel
+    (SURVEY section 4; /root/reference/python/qa_channel_estimator_cc.py).
+    """
+    B, _, L = bursts.shape
+    profile = np.exp(-decay * np.arange(n_taps)).astype(np.float32)
+    profile /= profile.sum()
+    amp = jnp.sqrt(jnp.asarray(profile) / 2.0)
+    taps = amp[None, None, :] * jax.random.normal(key, (B, 2, n_taps))
+    # y[t] = sum_l h[l] * x[t-l], complex product in planar form
+    y_r = jnp.zeros((B, L))
+    y_i = jnp.zeros((B, L))
+    x_r, x_i = bursts[:, 0, :], bursts[:, 1, :]
+    for l in range(n_taps):
+        xs_r = jnp.pad(x_r, ((0, 0), (l, 0)))[:, :L]
+        xs_i = jnp.pad(x_i, ((0, 0), (l, 0)))[:, :L]
+        h_r, h_i = taps[:, 0, l : l + 1], taps[:, 1, l : l + 1]
+        y_r = y_r + h_r * xs_r - h_i * xs_i
+        y_i = y_i + h_r * xs_i + h_i * xs_r
+    return jnp.stack([y_r, y_i], axis=-2)
+
+
+def _apply_cfo(cfg: GfdmConfig, bursts, cfo: float):
+    """Constant carrier-frequency offset (fraction of subcarrier spacing)."""
+    L = bursts.shape[-1]
+    phase = 2.0 * np.pi * cfo * np.arange(L) / cfg.subcarriers
+    c = jnp.asarray(np.cos(phase).astype(np.float32))
+    s = jnp.asarray(np.sin(phase).astype(np.float32))
+    r, i = bursts[..., 0, :], bursts[..., 1, :]
+    return jnp.stack([r * c - i * s, r * s + i * c], axis=-2)
+
+
+@lru_cache(maxsize=32)
 def _sweep_fn(cfg: GfdmConfig, ic_iterations: int, constellation: str,
-              equalizer: str):
+              equalizer: str, channel: str, n_channel_taps: int, cfo: float):
     from ..ops.rx import constellation_points
 
     points = constellation_points(constellation)
@@ -56,10 +93,15 @@ def _sweep_fn(cfg: GfdmConfig, ic_iterations: int, constellation: str,
             axis=-2,
         )  # (B, 2, n_data)
         bursts = transmit_planar(cfg, data)[:, 0, :, :]  # (B, 2, L)
+        key, k_ch, k_n = jax.random.split(key, 3)
+        if channel == "multipath":
+            bursts = _apply_multipath(k_ch, bursts, n_channel_taps)
+        if cfo:
+            bursts = _apply_cfo(cfg, bursts, cfo)
         # AWGN at target SNR (planar): noise var per real component
         power = jnp.mean(jnp.sum(bursts**2, axis=-2))
         nvar = power / (2.0 * 10.0 ** (snr_db / 10.0))
-        noise = jnp.sqrt(nvar) * jax.random.normal(key, bursts.shape)
+        noise = jnp.sqrt(nvar) * jax.random.normal(k_n, bursts.shape)
         out = receive_bursts_planar(
             cfg, bursts + noise, ic_iterations=ic_iterations,
             constellation=tuple(points.tolist()), equalizer=equalizer,
@@ -85,15 +127,26 @@ def ber_sweep(
     seed: int = 0,
     constellation: str = "qpsk",
     equalizer: str = "zf",
+    channel: str = "awgn",
+    n_channel_taps: int = 8,
+    cfo: float = 0.0,
 ):
     """BER + EVM + estimated-SNR curve over the given SNR points.
 
     ``constellation``: 'qpsk', 'qam16' or 'qam64' (Gray, per the golden model).
+    ``channel``: 'awgn' (flat) or 'multipath' (per-burst Rayleigh taps with an
+    exponential power-delay profile, ``n_channel_taps`` long - keep it at or
+    below cp_len so ISI stays inside the prefix). ``cfo`` adds a residual
+    carrier-frequency offset in subcarrier spacings (uncorrected by this
+    receiver path - models post-sync residue).
     Returns a dict of numpy arrays keyed by 'snr_db', 'ber', 'evm',
     'snr_est_db'.
     """
+    if channel not in ("awgn", "multipath"):
+        raise ValueError(f"unknown channel model {channel!r}")
     prepare(cfg)
-    fn = _sweep_fn(cfg, int(ic_iterations), constellation, equalizer)
+    fn = _sweep_fn(cfg, int(ic_iterations), constellation, equalizer,
+                   str(channel), int(n_channel_taps), float(cfo))
     from ..ops.rx import constellation_points
 
     order = int(np.log2(constellation_points(constellation).size))
