@@ -38,7 +38,8 @@ def make_chunks(cfg, n_chunks: int, chunk_len: int, halo: int, snr_db=20.0,
     # planar Tx on-device (the axon TPU cannot transfer complex dtypes)
     bursts = np.asarray(transmit_planar(cfg, qpsk.astype(np.float32))[:, 0])
     ext = chunk_len + halo
-    noise_amp = np.sqrt(10 ** (-snr_db / 10) / 2)
+    sig_power = float(np.mean(np.sum(bursts**2, axis=1)))  # per complex sample
+    noise_amp = np.sqrt(sig_power * 10 ** (-snr_db / 10) / 2)
     stream = noise_amp * rng.standard_normal((n_chunks, 2, ext))
     # burst start position varies per chunk inside the owned region
     offs = rng.integers(0, chunk_len - 1, n_chunks)

@@ -260,6 +260,41 @@ def test_rx_receiver_factored_fast_large_K():
     assert np.all(np.sign(got_c.imag) == np.sign(d.imag))
 
 
+def test_tx_frame_factored_matches_xla():
+    """Factored one-kernel Tx == the XLA planar Tx chain at canonical K."""
+    from gfdm_tpu.kernels.fused import tx_frame_factored
+
+    data = _planar_payload(4, seed=61)
+    ref = np.asarray(transmit_planar(CFG, data))[:, 0]
+    got = np.asarray(tx_frame_factored(CFG, data, block=4))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_tx_frame_factored_large_K_link():
+    """K=256 factored Tx -> factored Rx link (round-3 verdict item 5): no
+    dense operator exists on either side (the dense Tx operator would be
+    ~50 MB here, ~830 MB at K=1024), and the clean-link payload round-trips
+    through the two Cooley-Tukey kernels."""
+    from gfdm_tpu.kernels.fused import rx_receiver_factored, tx_frame_factored
+    from gfdm_tpu.ops.tx import demap_indices
+
+    cfg = GfdmConfig(subcarriers=256, active_subcarriers=200, timeslots=9,
+                     cp_len=64, cs_len=32)
+    d = np.stack(
+        [utils.random_qpsk(cfg.n_data_symbols, seed=150 + i) for i in range(2)]
+    ).astype(np.complex64)
+    data = jnp.asarray(pl_ops.to_planar(d).astype(np.float32))
+    bursts = tx_frame_factored(cfg, data, block=2)
+    ref = np.asarray(transmit_planar(cfg, data))[:, 0]
+    np.testing.assert_allclose(np.asarray(bursts), ref, atol=2e-5)
+    chan, sym = rx_receiver_factored(cfg, bursts, ic_iterations=2, block=2,
+                                     estimator="fast")
+    got = np.asarray(jnp.take(sym, jnp.asarray(demap_indices(cfg)), axis=-1))
+    got_c = got[:, 0] + 1j * got[:, 1]
+    assert np.all(np.sign(got_c.real) == np.sign(d.real))
+    assert np.all(np.sign(got_c.imag) == np.sign(d.imag))
+
+
 def test_default_link_block_and_auto_select():
     """block=None resolves to the measured-tuned VMEM block (256 at the
     canonical N=576, scaling down for larger frames) and still runs with
