@@ -119,6 +119,11 @@ class StreamingReceiver:
     dtype_name: str = "float32"
     engine: str = "xla"  # "xla" | "fused" (Pallas one-kernel receiver)
     mesh: object = None
+    # serve() keeps up to this many dispatched batches in flight before
+    # fetching: 2 (double buffering) hides the per-dispatch tunnel/host
+    # latency behind the previous batch's device compute at small batch
+    # sizes; 1 reproduces the round-3 single-deep pipeline
+    pipeline_depth: int = 2
     stats: ServiceStats = field(default_factory=ServiceStats)
 
     def __post_init__(self):
@@ -310,10 +315,12 @@ class StreamingReceiver:
         ``max_batch_chunks`` chunks — bound work by chunk count via the
         source if you need a hard sample limit.
 
-        The loop is software-pipelined one batch deep: batch i+1 is
-        dispatched to the device before batch i's results are fetched, so
-        host transfer overlaps the next batch's compute (JAX dispatch is
-        asynchronous; the fetch is what blocks).
+        The loop is software-pipelined ``pipeline_depth`` batches deep
+        (default 2 = double buffering): up to that many batches are
+        dispatched to the device before the oldest one's results are
+        fetched, so host transfer and the next pulls overlap device compute
+        (JAX dispatch is asynchronous; the fetch is what blocks). Depth 1
+        reproduces the single-deep round-3 behavior.
 
         Ring overflow on the producer side is accounted per call: if the
         source exposes a cumulative ``dropped`` counter (native StreamBuffer/
@@ -358,7 +365,10 @@ class StreamingReceiver:
             )
             sink(out)
 
-        pending = None
+        from collections import deque
+
+        depth = max(1, int(self.pipeline_depth))
+        pending: deque = deque()
         dispatched = 0
         while max_batches is None or dispatched < max_batches:
             got = pull()
@@ -368,9 +378,12 @@ class StreamingReceiver:
             chunks = np.asarray(chunks)
             out_dev, n = self._dispatch(chunks)
             dispatched += 1
-            if pending is not None:
-                emit(pending)
-            pending = (out_dev, n, base)
-        if pending is not None:
-            emit(pending)
+            pending.append((out_dev, n, base))
+            if len(pending) > depth:
+                emit(pending.popleft())
+        while pending:
+            emit(pending.popleft())
+        # drops that land after the final pull (e.g. a producer pushing
+        # while the pipeline drains) still belong to this call
+        account_drops()
         return self.stats

@@ -126,3 +126,19 @@ def test_topk_slots_share_chunk_noise_floor():
     # exactly the real burst (strongest slot) is valid; suppressed slots are
     # noise picks below the CFAR threshold
     np.testing.assert_array_equal(valid, [[True, False, False]] * 4)
+
+
+def test_matmul_front_end_matches_conv_reference():
+    """The polyphase-matmul sync front end (round-4 MXU redesign of the
+    sliding-window ops) is numerically the conv+cumsum reference: same
+    gated metric, autocorrelation, energy and CP-integration traces."""
+    chunks, _ = _burst_chunks(3, snr_db=12.0, seed=900)
+    s = jnp.asarray(chunks)
+    kernel = pp._detect_consts(CFG, "float32")
+    ref = pp._detect_front_planar(CFG, kernel, s, CHUNK, impl="conv")
+    got = pp._detect_front_planar(CFG, kernel, s, CHUNK, impl="matmul")
+    for name, r, g in zip(("gated", "ac", "energy", "ic"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5,
+            err_msg=name,
+        )
