@@ -142,6 +142,45 @@ def _bench_cpu_golden(cfg, batch=512, iters=4):
     return dt
 
 
+def _bench_service(cfg, n_chunks=4096, iters=8, chunk_len=2048, snr_db=20.0):
+    """Production receive path: detect + extract + fused receive on a
+    burst-bearing chunk stream (one burst per chunk at a random offset,
+    AWGN at ``snr_db``) - the sync-included number the headline loopback
+    link does not measure (round-3 verdict item 1). Returns
+    (stream samples/s, bursts/s, found fraction)."""
+    import jax
+
+    from gfdm_tpu.ops.planar_pipeline import prepare, transmit_planar
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    halo = cfg.frame_len + cfg.cp_len
+    rng = np.random.default_rng(0)
+    qpsk = (rng.integers(0, 2, (n_chunks, 2, cfg.n_data_symbols)) * 2 - 1) / np.sqrt(2.0)
+    prepare(cfg)
+    bursts = np.asarray(transmit_planar(cfg, qpsk.astype(np.float32))[:, 0])
+    ext = chunk_len + halo
+    sig_power = float(np.mean(np.sum(bursts**2, axis=1)))
+    noise_amp = np.sqrt(sig_power * 10 ** (-snr_db / 10) / 2)
+    stream = noise_amp * rng.standard_normal((n_chunks, 2, ext))
+    offs = rng.integers(0, chunk_len - 1, n_chunks)
+    for i in range(n_chunks):
+        stream[i, :, offs[i] : offs[i] + cfg.frame_len] += bursts[i]
+    chunks = jax.device_put(stream.astype(np.float32))
+
+    rx = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=n_chunks,
+                           engine="fused")
+    step = jax.jit(lambda c, s: rx._step(c * s))
+    scales = [jax.device_put(np.float32(1.0 + 1e-6 * i)) for i in range(iters)]
+    out = step(chunks, scales[-1])
+    found = float(np.asarray(out["found"]).mean())  # compile + warmup fetch
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(chunks, scales[i])
+    float(np.asarray(out["snr_lin"]).sum())  # fetch forces the queue
+    dt = (time.perf_counter() - t0) / iters
+    return n_chunks * chunk_len / dt, n_chunks / dt, found
+
+
 def main():
     from gfdm_tpu import GfdmConfig
 
@@ -153,6 +192,7 @@ def main():
 
     cpu_dt_per_frame = _bench_cpu_golden(cfg)
     tpu_dt, evm = _bench_tpu(cfg, batch=batch, iters=iters)
+    svc_sps, svc_bps, svc_found = _bench_service(cfg)
 
     samples_per_burst = cfg.frame_len  # over-the-air samples per burst
     tpu_sps = batch * samples_per_burst / tpu_dt
@@ -165,6 +205,22 @@ def main():
         f"step={tpu_dt*1e3:.2f}ms batch={batch}",
         file=sys.stderr,
     )
+    # second metric (round-3 verdict item 1): the sync-included production
+    # receive path - detect + extract + fused receive over a burst-bearing
+    # stream. Reported on stderr + as extra keys of the JSON line so the
+    # driver's single-line contract stays intact.
+    print(
+        json.dumps(
+            {
+                "metric": "gfdm_service_stream_samples_per_s_per_chip",
+                "value": round(svc_sps),
+                "unit": "samples/s",
+                "bursts_per_s": round(svc_bps),
+                "found": round(svc_found, 4),
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -172,6 +228,9 @@ def main():
                 "value": round(tpu_sps),
                 "unit": "samples/s",
                 "vs_baseline": round(tpu_sps / cpu_sps, 2),
+                "service_stream_samples_per_s": round(svc_sps),
+                "service_bursts_per_s": round(svc_bps),
+                "service_found_frac": round(svc_found, 4),
             }
         )
     )

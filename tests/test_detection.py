@@ -142,3 +142,23 @@ def test_matmul_front_end_matches_conv_reference():
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5,
             err_msg=name,
         )
+
+
+def test_barrel_extraction_matches_dynamic_slice():
+    """The barrel extraction (coarse block gather + two one-hot select
+    stages, the round-4 replacement for the gather-bound per-chunk
+    dynamic_slice) is bit-identical, including clipped out-of-range starts
+    and the zero-fill pre-roll."""
+    rng = np.random.default_rng(41)
+    B, T = 16, CHUNK + HALO
+    stream = rng.standard_normal((B, 2, T)).astype(np.float32)
+    start = np.concatenate(
+        [[0, 1, T - 1, T, T + 900], rng.integers(0, CHUNK, B - 5)]
+    )
+    scale = rng.uniform(0.5, 2.0, B).astype(np.float32)
+    cfo = rng.uniform(-0.05, 0.05, B).astype(np.float32)
+    args = (jnp.asarray(stream), jnp.asarray(start), jnp.asarray(scale),
+            jnp.asarray(cfo))
+    ref = pp._extract_fn_planar(CFG, CFG.frame_len, CFG.cp_len, True, "slice")(*args)
+    got = pp._extract_fn_planar(CFG, CFG.frame_len, CFG.cp_len, True, "barrel")(*args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

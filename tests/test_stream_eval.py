@@ -472,3 +472,39 @@ def test_streaming_service_fused_engine_matches_xla(equalizer, constellation):
     d_hat = pl.from_planar(outs["fused"]["data"][found])
     decided = sm.hard_decide(d_hat, points)
     assert utils.evm(decided, data) < 1e-5
+
+
+def test_streaming_service_pipeline_depth_equivalence():
+    """Double-buffered serve (pipeline_depth=2, the round-4 default) emits
+    exactly the same outputs in the same order as the single-deep loop;
+    only the overlap schedule differs."""
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    chunk_len = 2048
+    halo = CFG.frame_len + CFG.cp_len
+    rng = np.random.default_rng(77)
+    batches = [
+        (0.01 * rng.standard_normal((2, 2, chunk_len + halo))).astype(np.float32)
+        for _ in range(5)
+    ]
+    data = utils.random_qpsk(CFG.n_data_symbols, seed=990)[None, :]
+    burst = np.asarray(
+        np.stack([np.asarray(tx_ops.transmit(CFG, data))[0, 0]])
+    )
+    batches[2][0, :, 300 : 300 + CFG.frame_len] += pl.to_planar(burst)[0]
+
+    outs = {}
+    for depth in (1, 2, 3):
+        rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=2,
+                               pipeline_depth=depth)
+        got = []
+        it = iter(batches)
+        stats = rx.serve(lambda: next(it, None), got.append)
+        assert stats.batches == 5 and stats.bursts_found == 1
+        outs[depth] = got
+    for depth in (2, 3):
+        assert len(outs[depth]) == len(outs[1])
+        for a, b in zip(outs[1], outs[depth]):
+            np.testing.assert_array_equal(a["found"], b["found"])
+            np.testing.assert_allclose(a["data"], b["data"], atol=1e-6)
