@@ -101,43 +101,99 @@ def _constellation(name: str) -> tuple[np.ndarray, int]:
     return pts, int(np.log2(pts.size))
 
 
+def burst_capacity_bytes(cfg: GfdmConfig, order: int, fec: str = "none") -> int:
+    """Payload bytes per burst (after the 4-byte CRC; after FEC if any).
+
+    fec="conv": one rate-1/2 zero-terminated codeword per burst
+    (gfdm_tpu.coding) - roughly half the uncoded capacity.
+    """
+    if fec == "conv":
+        from .coding import info_bits_for_block
+
+        return info_bits_for_block(order * cfg.n_data_symbols) // 8 - 4
+    return payload_capacity_bytes(cfg.n_data_symbols, order)
+
+
 def payload_to_symbols(
-    cfg: GfdmConfig, payload: bytes, constellation: str = "qpsk"
+    cfg: GfdmConfig, payload: bytes, constellation: str = "qpsk",
+    fec: str = "none",
 ) -> tuple[np.ndarray, int]:
     """File bytes -> (n_bursts, n_data_symbols) symbols with per-burst CRC-32.
 
     The final burst is zero-padded to capacity; returns the symbol batch and
     the number of bursts. 16-QAM doubles the per-burst byte capacity.
+    ``fec="conv"``: each burst carries one interleaved rate-1/2 K=7
+    codeword (half the bytes, soft-decoded on receive) - the FEC the
+    reference's CRC-framed OTA chain lacks.
     """
     from .ref import symbolmapping as sm
 
+    if fec not in ("none", "conv"):
+        raise ValueError(f"unknown fec {fec!r}")
     pts, order = _constellation(constellation)
-    cap = payload_capacity_bytes(cfg.n_data_symbols, order)
+    cap = burst_capacity_bytes(cfg, order, fec)
     if cap <= 0:
         raise ValueError("configuration too small to carry a CRC-framed payload")
     n_bursts = max(1, -(-len(payload) // cap))
     padded = payload + b"\x00" * (n_bursts * cap - len(payload))
+    n_bits = order * cfg.n_data_symbols
+    if fec == "conv":
+        from .coding import conv_encode, info_bits_for_block, interleaver
+
+        n_info = info_bits_for_block(n_bits)
+        perm = interleaver(n_bits)
     out = np.empty((n_bursts, cfg.n_data_symbols), dtype=np.complex64)
     for i in range(n_bursts):
         frame = attach_crc32(padded[i * cap : (i + 1) * cap])
         bits = unpack_bits(frame)
-        bits = np.concatenate(
-            [bits, np.zeros(order * cfg.n_data_symbols - bits.size, np.uint8)]
-        )
+        if fec == "conv":
+            info = np.concatenate(
+                [bits, np.zeros(n_info - bits.size, np.uint8)]
+            )
+            bits = conv_encode(info)[perm]
+        else:
+            bits = np.concatenate(
+                [bits, np.zeros(n_bits - bits.size, np.uint8)]
+            )
         out[i] = sm.bits_to_symbols(bits, pts)
     return out, n_bursts
 
 
 def symbols_to_payloads(
-    cfg: GfdmConfig, symbols: np.ndarray, constellation: str = "qpsk"
+    cfg: GfdmConfig, symbols: np.ndarray, constellation: str = "qpsk",
+    fec: str = "none", snr_lin: np.ndarray | None = None,
 ) -> list[tuple[bool, bytes]]:
-    """Hard-decide symbols back to (crc_ok, payload) per burst."""
+    """Symbols back to (crc_ok, payload) per burst.
+
+    fec="none": hard decisions. fec="conv": max-log LLRs (noise variance
+    from the per-burst ``snr_lin`` estimate when given) -> batched
+    soft-decision Viterbi -> CRC check.
+    """
     from .ref import symbolmapping as sm
 
     pts, order = _constellation(constellation)
-    cap = payload_capacity_bytes(cfg.n_data_symbols, order)
+    cap = burst_capacity_bytes(cfg, order, fec)
+    rows = np.atleast_2d(symbols)
+    if fec == "conv":
+        from .coding import info_bits_for_block, interleaver, viterbi_decode
+        from .ops.softbits import maxlog_llrs
+
+        n_bits = order * cfg.n_data_symbols
+        n_info = info_bits_for_block(n_bits)
+        inv = np.argsort(interleaver(n_bits))
+        nv = (1.0 / np.maximum(np.asarray(snr_lin, np.float32), 1e-6)
+              if snr_lin is not None else np.ones(rows.shape[0], np.float32))
+        llrs = np.asarray(
+            maxlog_llrs(rows.astype(np.complex64), pts, nv[:, None])
+        ).reshape(rows.shape[0], -1)[:, inv]
+        bits_all = np.asarray(viterbi_decode(llrs, n_info))
+        results = []
+        for bits in bits_all:
+            frame = pack_bits(bits[: (cap + 4) * 8])
+            results.append(check_crc32(frame))
+        return results
     results = []
-    for row in np.atleast_2d(symbols):
+    for row in rows:
         bits = sm.symbols_to_bits(row, pts).astype(np.uint8)
         frame = pack_bits(bits[: (cap + 4) * 8])
         results.append(check_crc32(frame))
@@ -175,12 +231,12 @@ def cmd_info(args: argparse.Namespace) -> int:
 
 
 def tx_file(cfg: GfdmConfig, payload: bytes, scale: float = 0.7,
-            constellation: str = "qpsk") -> np.ndarray:
+            constellation: str = "qpsk", fec: str = "none") -> np.ndarray:
     """Byte payload -> contiguous IQ stream (one padded burst per chunk)."""
     from .ops import tx as tx_ops
     from .runtime.transmitter import shape_bursts
 
-    data, _ = payload_to_symbols(cfg, payload, constellation)
+    data, _ = payload_to_symbols(cfg, payload, constellation, fec=fec)
     bursts = np.asarray(tx_ops.transmit(cfg, data))[:, 0, :]
     shaped = np.asarray(shape_bursts(cfg, bursts, scale=scale))
     return shaped.reshape(-1)
@@ -199,7 +255,7 @@ def default_ic_iterations(constellation: str) -> int:
 
 def rx_file(
     cfg: GfdmConfig, stream: np.ndarray, ic_iterations: int | None = None,
-    constellation: str = "qpsk",
+    constellation: str = "qpsk", fec: str = "none",
 ) -> tuple[bytes, dict]:
     """IQ stream -> (recovered bytes from CRC-valid bursts, stats dict)."""
     from .runtime.receiver import receive_stream
@@ -217,7 +273,10 @@ def rx_file(
         cfg, stream[: n * chunk].reshape(n, chunk), ic_iterations=ic_iterations,
         constellation=_constellation(constellation)[0],
     )
-    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]), constellation)
+    decoded = symbols_to_payloads(
+        cfg, np.asarray(out["data"]), constellation, fec=fec,
+        snr_lin=np.asarray(out["snr_lin"]),
+    )
     payload = b"".join(p for ok, p in decoded if ok)
     snr = np.asarray(out["snr_lin"], dtype=np.float64)
     dropped = int(stream.size - n * chunk)
@@ -245,7 +304,7 @@ def cmd_tx(args: argparse.Namespace) -> int:
         with open(args.infile, "rb") as f:
             payload = f.read()
     stream = tx_file(cfg, payload, scale=args.scale,
-                     constellation=args.constellation)
+                     constellation=args.constellation, fec=args.fec)
     _write_iq(args.outfile, stream, args.iq_format)
     print(
         json.dumps(
@@ -311,7 +370,7 @@ def cmd_rx(args: argparse.Namespace) -> int:
         print("rx: one of --infile or --udp-port is required", file=sys.stderr)
         return 2
     payload, stats = rx_file(cfg, stream, ic_iterations=args.ic,
-                             constellation=args.constellation)
+                             constellation=args.constellation, fec=args.fec)
     if args.outfile == "-":
         sys.stdout.buffer.write(payload)
     else:
@@ -329,6 +388,7 @@ def simulate(
     multipath: bool = True,
     seed: int = 0,
     constellation: str = "qpsk",
+    fec: str = "none",
 ) -> dict:
     """Random-payload loopback through multipath + AWGN; returns stats.
 
@@ -348,19 +408,21 @@ def simulate(
     if ic_iterations is None:
         ic_iterations = default_ic_iterations(constellation)
     pts, order = _constellation(constellation)
-    cap = payload_capacity_bytes(cfg.n_data_symbols, order)
+    cap = burst_capacity_bytes(cfg, order, fec)
     rng = np.random.default_rng(seed)
     payload = rng.integers(0, 256, n_bursts * cap, dtype=np.uint8).tobytes()
-    stream = tx_file(cfg, payload, constellation=constellation).reshape(
-        n_bursts, -1
-    )
+    stream = tx_file(cfg, payload, constellation=constellation,
+                     fec=fec).reshape(n_bursts, -1)
     s = jnp.asarray(stream)
     if multipath:
         s = chan.multipath(s, jnp.asarray([1.0, 0.25 + 0.15j, -0.1j]))
     s = chan.awgn(jax.random.PRNGKey(seed), s, snr_db)
     out = receive_stream(cfg, s, ic_iterations=ic_iterations,
                          constellation=pts)
-    decoded = symbols_to_payloads(cfg, np.asarray(out["data"]), constellation)
+    decoded = symbols_to_payloads(
+        cfg, np.asarray(out["data"]), constellation, fec=fec,
+        snr_lin=np.asarray(out["snr_lin"]),
+    )
     got = b"".join(p for ok, p in decoded if ok)
     sent_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
     ok_idx = [i for i, (ok, _) in enumerate(decoded) if ok]
@@ -394,6 +456,7 @@ def cmd_simulate(args: argparse.Namespace) -> int:
         multipath=not args.no_multipath,
         seed=args.seed,
         constellation=args.constellation,
+        fec=args.fec,
     )
     print(json.dumps(stats))
     return 0 if stats["crc_ok"] == stats["bursts"] else 1
@@ -434,6 +497,8 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--outfile", required=True, help="IQ output file")
     pt.add_argument("--iq-format", choices=("cf32", "sc16"), default="cf32")
     pt.add_argument("--scale", type=float, default=0.7)
+    pt.add_argument("--fec", choices=("none", "conv"), default="none",
+                    help="rate-1/2 K=7 convolutional FEC per burst")
     pt.set_defaults(fn=cmd_tx)
 
     pr = sub.add_parser("rx", help="IQ sample file (or UDP) -> recovered bytes")
@@ -449,6 +514,8 @@ def main(argv: list[str] | None = None) -> int:
                          "of reading --infile (end capture with an empty "
                          "datagram or after --udp-timeout seconds)")
     pr.add_argument("--udp-timeout", type=float, default=30.0)
+    pr.add_argument("--fec", choices=("none", "conv"), default="none",
+                    help="soft-decision Viterbi decode (must match tx)")
     pr.set_defaults(fn=cmd_rx)
 
     ps = sub.add_parser("simulate", help="loopback link through a simulated channel")
@@ -458,6 +525,7 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--ic", type=int, default=None)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--no-multipath", action="store_true")
+    ps.add_argument("--fec", choices=("none", "conv"), default="none")
     ps.set_defaults(fn=cmd_simulate)
 
     args = p.parse_args(argv)

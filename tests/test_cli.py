@@ -268,3 +268,44 @@ def test_rx_udp_live_capture(cfg, tmp_path):
 
     # neither source given -> usage error
     assert main(["rx", "--outfile", str(out)]) == 2
+
+
+def test_fec_payload_roundtrip_and_capacity(cfg):
+    """--fec conv: rate-1/2 coded bursts roundtrip cleanly; capacity is
+    roughly half the uncoded one."""
+    from gfdm_tpu.cli import burst_capacity_bytes
+
+    cap = burst_capacity_bytes(cfg, 2, "conv")
+    cap_un = burst_capacity_bytes(cfg, 2, "none")
+    assert 0 < cap < cap_un and cap >= cap_un // 2 - 8
+    rng = np.random.default_rng(17)
+    payload = rng.integers(0, 256, 2 * cap, dtype=np.uint8).tobytes()
+    syms, n = payload_to_symbols(cfg, payload, fec="conv")
+    assert n == 2
+    decoded = symbols_to_payloads(cfg, syms, fec="conv")
+    assert all(ok for ok, _ in decoded)
+    assert b"".join(p for _, p in decoded) == payload
+
+
+def test_fec_coding_gain_in_simulate(cfg):
+    """At 4 dB through the multipath channel the coded modem recovers every
+    burst while the uncoded one recovers none - the CLI-level coding gain
+    (one honest step past the reference's uncoded CRC OTA chain)."""
+    coded = simulate(cfg, n_bursts=6, snr_db=4.0, fec="conv", seed=3)
+    uncoded = simulate(cfg, n_bursts=6, snr_db=4.0, seed=3)
+    assert coded["crc_ok"] == 6 and coded["payload_intact"]
+    assert uncoded["crc_ok"] < 3
+
+
+def test_cli_fec_file_roundtrip(cfg, tmp_path):
+    rng = np.random.default_rng(23)
+    payload = rng.integers(0, 256, 900, dtype=np.uint8).tobytes()
+    pin = tmp_path / "p.bin"
+    pin.write_bytes(payload)
+    iq = tmp_path / "x.cf32"
+    pout = tmp_path / "out.bin"
+    assert main(["tx", "--infile", str(pin), "--outfile", str(iq),
+                 "--fec", "conv"]) == 0
+    assert main(["rx", "--infile", str(iq), "--outfile", str(pout),
+                 "--fec", "conv"]) == 0
+    assert pout.read_bytes()[: len(payload)] == payload
