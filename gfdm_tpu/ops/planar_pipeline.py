@@ -527,16 +527,27 @@ def _poly_window_sum(x, Bm, b: int, n_out: int):
     return y.reshape(x.shape[:-1] + (-1,))[..., :n_out].astype(x.dtype)
 
 
+# default front-end implementation; benchmarks flip this to compare
+DETECT_IMPL = "matmul"  # "matmul" | "conv" | "pallas"
+
+
 def _detect_front_planar(cfg: GfdmConfig, kernel, s, search_limit: int,
-                         impl: str = "matmul"):
+                         impl: str | None = None):
     """Shared planar sync front end: (gated metric, ac, energy, ic trace).
 
     impl="matmul" (default): every sliding window - the 2K-tap preamble
     cross-correlation, the K-wide autocorrelation sum, the 2K energy window
     and the CP-integration - runs as a polyphase banded block matmul on the
-    MXU. impl="conv" keeps the original lax.conv + cumsum forms (the
-    correctness reference; ~7x slower on the measured chip).
+    MXU. impl="pallas" fuses the whole chain into one VMEM kernel
+    (kernels/detect.py). impl="conv" keeps the original lax.conv + cumsum
+    forms (the correctness reference; ~7x slower on the measured chip).
     """
+    if impl is None:
+        impl = DETECT_IMPL
+    if impl == "pallas":
+        from ..kernels.detect import detect_front_pallas
+
+        return detect_front_pallas(cfg, s, search_limit)
     K = cfg.subcarriers
     cp_len = cfg.cp_len
     p_len = 2 * K

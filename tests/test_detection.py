@@ -162,3 +162,18 @@ def test_barrel_extraction_matches_dynamic_slice():
     ref = pp._extract_fn_planar(CFG, CFG.frame_len, CFG.cp_len, True, "slice")(*args)
     got = pp._extract_fn_planar(CFG, CFG.frame_len, CFG.cp_len, True, "barrel")(*args)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_front_end_matches_conv_reference():
+    """The fused Pallas detection front end (kernels/detect.py: whole sync
+    trace chain in one VMEM pass) matches the conv+cumsum reference."""
+    chunks, _ = _burst_chunks(3, snr_db=12.0, seed=901)
+    s = jnp.asarray(chunks)
+    kernel = pp._detect_consts(CFG, "float32")
+    ref = pp._detect_front_planar(CFG, kernel, s, CHUNK, impl="conv")
+    got = pp._detect_front_planar(CFG, kernel, s, CHUNK, impl="pallas")
+    for name, r, g in zip(("gated", "ac", "energy", "ic"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=3e-3, atol=3e-5,
+            err_msg=name,
+        )
