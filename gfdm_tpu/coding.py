@@ -102,6 +102,13 @@ def _viterbi_fn(n_info: int):
     T = n_info + CONV_TAIL_BITS
     neg = np.float32(-1e30)
 
+    half = _NSTATES >> 1
+    # unroll G trellis steps per scan iteration: the per-iteration scan
+    # overhead dominates the tiny (B, 64) step bodies (measured: the
+    # one-step-per-iteration form runs 468 x ~115 us); G is the largest
+    # divisor of T up to 16 so no pad steps corrupt the terminated path
+    G = max(g for g in range(1, 17) if T % g == 0)
+
     @jax.jit
     def fn(llrs):
         # llrs: (..., 2T) pairs (c0, c1) per trellis step
@@ -110,34 +117,53 @@ def _viterbi_fn(n_info: int):
         # f64 LLRs); max-log decisions are scale/precision insensitive
         lp = llrs.astype(jnp.float32).reshape(lead + (T, 2))
         pm0 = jnp.full(lead + (_NSTATES,), neg).at[..., 0].set(0.0)
-        pv = jnp.asarray(prev)  # (64, 2)
         sg = jnp.asarray(sgn)
 
         def step(pm, l_t):
-            # l_t: (..., 2) -> branch metrics (..., 64, 2)
+            # l_t: (..., 2) -> branch metrics (..., 64, 2). The butterfly
+            # structure makes predecessor access gather-free: prev0 of
+            # ns = ns>>1 walks 0,0,1,1,... so pm[prev0] is repeat(pm[:32])
+            # (and pm[prev1] = repeat(pm[32:])) - pure data layout
             bm = sg[..., 0] * l_t[..., None, None, 0] + (
                 sg[..., 1] * l_t[..., None, None, 1]
             )
-            cand = pm[..., pv] + bm  # (..., 64, 2)
-            dec = jnp.argmax(cand, axis=-1)
-            return jnp.max(cand, axis=-1), dec.astype(jnp.int8)
+            c0 = jnp.repeat(pm[..., :half], 2, axis=-1) + bm[..., 0]
+            c1 = jnp.repeat(pm[..., half:], 2, axis=-1) + bm[..., 1]
+            dec = c1 > c0  # ties pick predecessor 0, as argmax did
+            return jnp.maximum(c0, c1), dec
 
-        # scan over time: move T to the front
+        def fwd_group(pm, lt_g):  # lt_g: (G, ..., 2)
+            decs = []
+            for j in range(G):
+                pm, d = step(pm, lt_g[j])
+                decs.append(d)
+            return pm, jnp.stack(decs)
+
+        # scan over time groups: move T to the front, fold into (T/G, G)
         lt = jnp.moveaxis(lp, -2, 0)
-        pm, decs = jax.lax.scan(step, pm0, lt)  # decs: (T, ..., 64)
+        ltg = lt.reshape((T // G, G) + lt.shape[1:])
+        pm, decs = jax.lax.scan(fwd_group, pm0, ltg)
+        decs = decs.reshape((T,) + decs.shape[2:])  # (T, ..., 64) bool
 
-        # traceback from the zero state (zero-terminated encoder)
+        # traceback from the zero state (zero-terminated encoder); the
+        # predecessor index is arithmetic: (state >> 1) | (dec << 5)
         def back(state, dec_t):
-            # dec_t: (..., 64); current state's winning predecessor
             d = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
             bit = state & 1
-            nxt = jnp.take_along_axis(
-                jnp.asarray(prev)[state], d[..., None], axis=-1
-            )[..., 0]
+            nxt = (state >> 1) | (d.astype(state.dtype) << (_K - 2))
             return nxt, bit
 
+        def back_group(state, dec_g):
+            bits = []
+            for j in range(G):
+                state, bb = back(state, dec_g[j])
+                bits.append(bb)
+            return state, jnp.stack(bits)
+
         state0 = jnp.zeros(lead, jnp.int32)
-        _, bits_rev = jax.lax.scan(back, state0, decs[::-1])
+        dg = decs[::-1].reshape((T // G, G) + decs.shape[1:])
+        _, bits_rev = jax.lax.scan(back_group, state0, dg)
+        bits_rev = bits_rev.reshape((T,) + bits_rev.shape[2:])
         bits = jnp.moveaxis(bits_rev[::-1], 0, -1)  # (..., T)
         return bits[..., :n_info].astype(jnp.uint8)
 

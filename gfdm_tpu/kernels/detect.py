@@ -143,6 +143,167 @@ def _call(cfg: GfdmConfig, batch: int, nb: int, c_chunks: int, interpret: bool):
     )
 
 
+# ---------------------------------------------------------------------------
+# v2: trace-lean kernel - only the gated metric and CP-integration traces
+# leave VMEM; peak-local values (CFO, scale) are recomputed outside from a
+# 2K-sample window around the argmax (a few hundred FLOP per chunk).
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _consts2(cfg: GfdmConfig):
+    c = _consts(cfg)
+    b = c["b"]
+    # kernel rows are [re_u | im_u | re_{u+1} | im_{u+1}]; permute the
+    # xcorr operator's rows from the [re(2b) | im(2b)] convention
+    perm = np.concatenate([
+        np.arange(0, b), np.arange(2 * b, 3 * b),
+        np.arange(b, 2 * b), np.arange(3 * b, 4 * b),
+    ])
+    return {**c, "xcorr2": np.ascontiguousarray(c["xcorr"][perm])}
+
+
+def _kernel2(cfg: GfdmConfig,
+             rows_ref, xc_ref, bk_ref, b2k_ref, bcp_ref, mask_ref,
+             gated_ref, ic_ref):
+    K = cfg.subcarriers
+    b = 2 * K
+    x = rows_ref[:]  # (blk, 2b): [re_u | im_u] aligned rows
+    blk = x.shape[0]
+    # pair each row with its successor (the next aligned block; a chunk's
+    # final pad row is zero, giving the reference's zero tail)
+    zero = jnp.zeros((1, 2 * b), jnp.float32)
+    nxt = jnp.concatenate([x[1:, :], zero], axis=0)
+    p = jnp.concatenate([x, nxt], axis=1)  # (blk, 4b)
+
+    cc = jnp.dot(p, xc_ref[:], preferred_element_type=jnp.float32)
+    ccm = (cc[:, :b] ** 2 + cc[:, b:] ** 2) / np.float32(b * b)
+
+    s_re = jnp.concatenate([p[:, :b], p[:, 2 * b : 3 * b]], axis=1)
+    s_im = jnp.concatenate([p[:, b : 2 * b], p[:, 3 * b :]], axis=1)
+    br = jnp.concatenate([s_re[:, K:], s_re[:, :K]], axis=1)
+    bi = jnp.concatenate([s_im[:, K:], s_im[:, :K]], axis=1)
+    cpr = s_re * br + s_im * bi
+    cpi = s_re * bi - s_im * br
+    pr = jnp.dot(cpr, bk_ref[:], preferred_element_type=jnp.float32)
+    pi = jnp.dot(cpi, bk_ref[:], preferred_element_type=jnp.float32)
+    e = jnp.dot(s_re * s_re + s_im * s_im, b2k_ref[:],
+                preferred_element_type=jnp.float32)
+    e = jnp.maximum(e, 1e-30)
+    g = 2.0 / e
+    ac_mag = jnp.sqrt(pr * pr + pi * pi) * g
+
+    zero_b = jnp.zeros((1, b), jnp.float32)
+    prev = jnp.concatenate([zero_b, ac_mag[:-1, :]], axis=0) * mask_ref[:]
+    ic = jnp.dot(jnp.concatenate([prev, ac_mag], axis=1), bcp_ref[:],
+                 preferred_element_type=jnp.float32)
+
+    gated_ref[:] = jnp.sqrt(ccm) * ic
+    ic_ref[:] = ic
+
+
+@lru_cache(maxsize=16)
+def _call2(cfg: GfdmConfig, rows: int, block: int, interpret: bool):
+    b = 2 * cfg.subcarriers
+    kernel = functools.partial(_kernel2, cfg)
+    spec = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    out = lambda: jax.ShapeDtypeStruct((rows, b), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out(), out()),
+        grid=(rows // block,),
+        in_specs=[
+            spec(2 * b),
+            const(4 * b, 2 * b),
+            const(2 * b, b),
+            const(2 * b, b),
+            const(2 * b, b),
+            spec(1),
+        ],
+        out_specs=(spec(b), spec(b)),
+        interpret=interpret,
+    )
+
+
+def detect_bursts_pallas(cfg: GfdmConfig, s, search_limit: int,
+                         c_chunks: int = 32, interpret: bool | None = None,
+                         floor_stride: int = 8):
+    """Trace-lean fused detection: (..., 2, T) -> detection dict.
+
+    Same contract as ops.planar_pipeline.detect_bursts_planar (minus the
+    ac_metric debug trace): start/cfo/scale/strength/ac_peak/noise_floor.
+    Only two trace arrays leave the kernel; CFO and scale come from one
+    2K-sample window gather at the detected peak.
+    """
+    if interpret is None:
+        from .fused import _on_tpu
+
+        interpret = not _on_tpu()
+    c = _consts2(cfg)
+    b = c["b"]
+    K = cfg.subcarriers
+    T = s.shape[-1]
+    lead = s.shape[:-2]
+    n_ac = T - 2 * K
+    flat = s.reshape((-1, 2, T))
+    B = flat.shape[0]
+
+    nbp = -(-T // b) + 1  # aligned blocks + one zero pad block
+    pad = nbp * b - T
+    xp = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
+    rows = jnp.moveaxis(xp.reshape(B, 2, nbp, b), 1, 2).reshape(B * nbp, 2 * b)
+
+    n_rows = B * nbp
+    blk = nbp
+    for cc_ in range(min(c_chunks, B), 0, -1):
+        if B % cc_ == 0:
+            blk = cc_ * nbp
+            break
+    mask = np.ones((n_rows, 1), np.float32)
+    mask[0::nbp] = 0.0  # no CP history across chunk starts (zero pre-pad)
+
+    call = _call2(cfg, n_rows, blk, bool(interpret))
+    gated_r, ic_r = call(
+        rows,
+        jnp.asarray(c["xcorr2"]),
+        jnp.asarray(c["bandK"]),
+        jnp.asarray(c["band2K"]),
+        jnp.asarray(c["bandCP"]),
+        jnp.asarray(mask),
+    )
+    n_valid = min(n_ac, int(search_limit))
+    gated = gated_r.reshape(B, nbp * b)[:, :n_valid]
+    ic_t = ic_r.reshape(B, nbp * b)
+
+    nc = jnp.argmax(gated, axis=-1)
+    strength = jnp.take_along_axis(gated, nc[:, None], axis=-1)[:, 0]
+    ac_peak = jnp.take_along_axis(ic_t, nc[:, None], axis=-1)[:, 0]
+    floor = jnp.median(ic_t[:, :n_valid:floor_stride], axis=-1)
+
+    # peak-local window: samples [nc, nc + 2K) give both the K-lag
+    # autocorrelation (CFO angle) and the 2K energy (scale)
+    idx = nc[:, None] + jnp.arange(2 * K)[None, :]
+    win = jnp.take_along_axis(flat, idx[:, None, :], axis=-1)  # (B, 2, 2K)
+    wr, wi = win[:, 0, :], win[:, 1, :]
+    a_re, a_im = wr[:, :K], wi[:, :K]
+    b_re, b_im = wr[:, K:], wi[:, K:]
+    p_r = jnp.sum(a_re * b_re + a_im * b_im, axis=-1)
+    p_i = jnp.sum(a_re * b_im - a_im * b_re, axis=-1)
+    cfo = jnp.arctan2(p_i, p_r) / (2.0 * jnp.pi)
+    energy = jnp.maximum(jnp.sum(wr * wr + wi * wi, axis=-1), 1e-30)
+    scale = jnp.sqrt((2.0 * K) / energy)
+
+    def un(v):
+        return v.reshape(lead)
+
+    return {
+        "start": un(nc), "cfo": un(cfo), "scale": un(scale),
+        "strength": un(strength), "ac_peak": un(ac_peak),
+        "noise_floor": un(floor),
+    }
+
+
 def detect_front_pallas(cfg: GfdmConfig, s, search_limit: int,
                         c_chunks: int = 32, interpret: bool | None = None):
     """Fused front end: (..., 2, T) planar chunks -> (gated, ac, energy, ic)

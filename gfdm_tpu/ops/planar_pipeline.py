@@ -628,9 +628,16 @@ def detect_bursts_planar(cfg: GfdmConfig, stream, search_limit: int | None = Non
 
     ``search_limit`` restricts the detection argmax to owned positions when
     the chunk carries a lookahead halo (see ops.sync.detect_bursts).
+    With DETECT_IMPL == "pallas2" the whole front end runs as the
+    trace-lean fused kernel (kernels/detect.detect_bursts_pallas; no
+    ac_metric debug trace in the dict).
     """
     T = int(stream.shape[-1])
     limit = T if search_limit is None else int(search_limit)
+    if DETECT_IMPL == "pallas2":
+        from ..kernels.detect import detect_bursts_pallas
+
+        return detect_bursts_pallas(cfg, stream, limit)
     return _detect_fn_planar(cfg, T, limit, dtype_name)(stream)
 
 

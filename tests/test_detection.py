@@ -177,3 +177,23 @@ def test_pallas_front_end_matches_conv_reference():
             np.asarray(g), np.asarray(r), rtol=3e-3, atol=3e-5,
             err_msg=name,
         )
+
+
+def test_pallas_trace_lean_detection_matches_default():
+    """detect_bursts_pallas (trace-lean fused kernel + peak-local window
+    recompute) produces the same detection dict as the default matmul
+    front end: identical starts, matching CFO/scale/strength/ac_peak/
+    noise floor."""
+    from gfdm_tpu.kernels.detect import detect_bursts_pallas
+
+    chunks, _ = _burst_chunks(6, snr_db=12.0, seed=902)
+    s = jnp.asarray(chunks)
+    ref = pp.detect_bursts_planar(CFG, s, search_limit=CHUNK)
+    got = detect_bursts_pallas(CFG, s, CHUNK, c_chunks=3)
+    np.testing.assert_array_equal(np.asarray(got["start"]),
+                                  np.asarray(ref["start"]))
+    for k in ("cfo", "scale", "strength", "ac_peak", "noise_floor"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
