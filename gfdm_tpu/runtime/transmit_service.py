@@ -22,7 +22,58 @@ import numpy as np
 
 from ..config import GfdmConfig
 
-__all__ = ["TxStats", "StreamingTransmitter"]
+__all__ = ["TxStats", "StreamingTransmitter", "UdpSink"]
+
+
+class UdpSink:
+    """Datagram sc16 IQ sender: the uhd_usrp_sink analogue over UDP.
+
+    Accepts (2, n) planar float32 sample blocks (the StreamingTransmitter
+    sink contract via ``push``), converts them to interleaved sc16 (native
+    SIMD when built) and sends them as datagrams of at most
+    ``samples_per_datagram`` samples to ``host:port`` - the wire format
+    gfdm_tpu.native.UdpIngest ingests on the receive side, so a
+    StreamingTransmitter -> UdpSink -> UdpIngest -> StreamingReceiver chain
+    is a full-duplex modem over a real socket (the executable software
+    analogue of the reference's USRP OTA loop,
+    /root/reference/examples/gfdm_ota_demo.grc). ``close()`` sends the
+    zero-length end-of-stream datagram UdpIngest understands.
+    """
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 samples_per_datagram: int = 4096, gain: float = 1.0):
+        import socket
+
+        from ..native import SC16_SCALE
+
+        self.addr = (host, int(port))
+        self.samples_per_datagram = int(samples_per_datagram)
+        self.gain = float(gain)
+        self.scale = SC16_SCALE
+        self.samples_sent = 0
+        self.datagrams_sent = 0
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def push(self, planar: np.ndarray) -> None:
+        """Send a (2, n) planar float32 block as sc16 datagrams."""
+        from ..native import planar_to_sc16
+
+        planar = np.ascontiguousarray(planar, np.float32)
+        if self.gain != 1.0:
+            planar = planar * np.float32(self.gain)
+        raw = planar_to_sc16(planar, self.scale)
+        step = 2 * self.samples_per_datagram
+        for i in range(0, raw.size, step):
+            self._sock.sendto(raw[i : i + step].tobytes(), self.addr)
+            self.datagrams_sent += 1
+        self.samples_sent += planar.shape[-1]
+
+    def close(self, end_of_stream: bool = True) -> None:
+        if self._sock is not None:
+            if end_of_stream:
+                self._sock.sendto(b"", self.addr)
+            self._sock.close()
+            self._sock = None
 
 
 @lru_cache(maxsize=16)
