@@ -532,7 +532,8 @@ DETECT_IMPL = "matmul"  # "matmul" | "conv" | "pallas"
 
 
 def _detect_front_planar(cfg: GfdmConfig, kernel, s, search_limit: int,
-                         impl: str | None = None):
+                         impl: str | None = None,
+                         dtype_name: str = "float32"):
     """Shared planar sync front end: (gated metric, ac, energy, ic trace).
 
     impl="matmul" (default): every sliding window - the 2K-tap preamble
@@ -541,6 +542,11 @@ def _detect_front_planar(cfg: GfdmConfig, kernel, s, search_limit: int,
     MXU. impl="pallas" fuses the whole chain into one VMEM kernel
     (kernels/detect.py). impl="conv" keeps the original lax.conv + cumsum
     forms (the correctness reference; ~7x slower on the measured chip).
+
+    dtype_name="bfloat16" (matmul impl only) carries the big trace
+    intermediates and matmul operands in bf16 - the front end is
+    bandwidth-bound, so this halves its HBM traffic at ~0.4% trace
+    rounding (outputs and all peak decisions stay float32).
     """
     if impl is None:
         impl = DETECT_IMPL
@@ -554,28 +560,35 @@ def _detect_front_planar(cfg: GfdmConfig, kernel, s, search_limit: int,
     T = s.shape[-1]
     lead = s.shape[:-2]
     n_ac = T - 2 * K
+    bf16 = impl == "matmul" and dtype_name == "bfloat16"
+    sw = s.astype(jnp.bfloat16) if bf16 else s
     # --- coarse autocorrelation ---
-    a = s[..., : T - K]
-    b = s[..., K:]
+    a = sw[..., : T - K]
+    b = sw[..., K:]
     c_prod = pmul(pconj(a), b)
     if impl == "matmul":
-        pc = _poly_consts(cfg, "float32")
+        pc = _poly_consts(cfg, dtype_name if bf16 else "float32")
         bb = pc["b"]
         p_ms = _poly_window_sum(c_prod, pc["bands"][K], bb, n_ac)
-        energy = _poly_window_sum(pabs2(s), pc["bands"][2 * K], bb, n_ac)
+        energy = _poly_window_sum(pabs2(sw).astype(sw.dtype),
+                                  pc["bands"][2 * K], bb, n_ac)
+        p_ms = p_ms.astype(jnp.float32)
+        energy = energy.astype(jnp.float32)
     else:
         p_ms = moving_sum(c_prod, K)[..., :n_ac]
         energy = moving_sum(pabs2(s), 2 * K)[..., :n_ac]
     energy = jnp.maximum(energy, 1e-30)
     ac = p_ms * (2.0 / energy)[..., None, :]
     ac_mag = jnp.sqrt(pabs2(ac))
-    pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), ac_mag.dtype)
-    padded_mag = jnp.concatenate([pad, ac_mag], axis=-1)
     if impl == "matmul":
+        pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), sw.dtype)
+        padded_mag = jnp.concatenate(
+            [pad, ac_mag.astype(sw.dtype)], axis=-1
+        )
         ic = _poly_window_sum(padded_mag, pc["bands"][cp_len + 1], bb,
-                              n_ac) / (cp_len + 1)
+                              n_ac).astype(jnp.float32) / (cp_len + 1)
         # --- fine: xcorr as one polyphase complex block matmul -------------
-        pairs = _poly_blocks(s, bb)  # (..., 2, nb, 2b)
+        pairs = _poly_blocks(sw, bb)  # (..., 2, nb, 2b)
         rows = jnp.concatenate([pairs[..., 0, :, :], pairs[..., 1, :, :]],
                                axis=-1)  # (..., nb, 4b)
         y = jnp.matmul(rows, jnp.asarray(pc["xcorr"]),
@@ -583,6 +596,8 @@ def _detect_front_planar(cfg: GfdmConfig, kernel, s, search_limit: int,
         cc = jnp.stack([y[..., :bb], y[..., bb:]], axis=-3)
         cc = cc.reshape(lead + (2, -1))[..., : T - p_len + 1] / p_len
     else:
+        pad = jnp.zeros(ac_mag.shape[:-1] + (cp_len,), ac_mag.dtype)
+        padded_mag = jnp.concatenate([pad, ac_mag], axis=-1)
         ic = moving_sum(padded_mag, cp_len + 1) / (cp_len + 1)
         # --- fine: cross-correlation as a 2-channel real conv --------------
         s_nc = s.reshape((-1, 2, T))
@@ -604,7 +619,9 @@ def _detect_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int, dtype_
 
     @jax.jit
     def fn(s):
-        gated, ac, energy, ic = _detect_front_planar(cfg, kernel, s, search_limit)
+        gated, ac, energy, ic = _detect_front_planar(
+            cfg, kernel, s, search_limit, dtype_name=dtype_name
+        )
 
         nc = jnp.argmax(gated, axis=-1)
         peak = jnp.take_along_axis(gated, nc[..., None], axis=-1)[..., 0]
@@ -649,7 +666,9 @@ def _detect_topk_fn_planar(cfg: GfdmConfig, chunk_len: int, search_limit: int,
 
     @jax.jit
     def fn(s):
-        gated, ac, energy, ic = _detect_front_planar(cfg, kernel, s, search_limit)
+        gated, ac, energy, ic = _detect_front_planar(
+            cfg, kernel, s, search_limit, dtype_name=dtype_name
+        )
         pos = jnp.arange(gated.shape[-1])
 
         def body(g, _):

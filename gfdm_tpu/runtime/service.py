@@ -211,12 +211,14 @@ class StreamingReceiver:
             if k <= 1:
                 det = pp.detect_bursts_planar(
                     cfg, chunks, search_limit=chunk_len,
+                    dtype_name=self.dtype_name,
                 )
                 det = {kk: v for kk, v in det.items() if kk != "ac_metric"}
                 bursts = pp.extract_bursts_planar(cfg, chunks, det)
             else:
                 det_k = pp.detect_bursts_topk_planar(
                     cfg, chunks, max_bursts=k, search_limit=chunk_len,
+                    dtype_name=self.dtype_name,
                 )
                 rep = jnp.broadcast_to(
                     chunks[:, None, :, :],

@@ -197,3 +197,22 @@ def test_pallas_trace_lean_detection_matches_default():
             np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_bfloat16_detection_quality():
+    """dtype_name='bfloat16' halves the bandwidth-bound front end's HBM
+    traffic (measured 24% faster detection on-chip) at identical detection
+    quality: same starts within +-1 sample, same hit decisions. CFO picks
+    up ~6e-4 absolute quantization - document-not-default territory."""
+    chunks, expect = _burst_chunks(16, snr_db=10.0, seed=903)
+    s = jnp.asarray(chunks)
+    f32 = pp.detect_bursts_planar(CFG, s, search_limit=CHUNK)
+    b16 = pp.detect_bursts_planar(CFG, s, search_limit=CHUNK,
+                                  dtype_name="bfloat16")
+    assert np.all(np.abs(np.asarray(b16["start"]) - np.asarray(f32["start"])) <= 1)
+    assert np.all(np.abs(np.asarray(b16["start"]) - expect) <= 2)
+    np.testing.assert_allclose(np.asarray(b16["cfo"]), np.asarray(f32["cfo"]),
+                               atol=2e-3)
+    v32 = np.asarray(sync_ops.detection_valid(f32, 1e-4))
+    v16 = np.asarray(sync_ops.detection_valid(b16, 1e-4))
+    np.testing.assert_array_equal(v16, v32)
