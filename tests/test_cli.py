@@ -309,3 +309,16 @@ def test_cli_fec_file_roundtrip(cfg, tmp_path):
     assert main(["rx", "--infile", str(iq), "--outfile", str(pout),
                  "--fec", "conv"]) == 0
     assert pout.read_bytes()[: len(payload)] == payload
+
+
+def test_fec_with_dense_constellations(cfg):
+    """FEC composes with qam16/qam64 payloads: the max-log LLRs feed the
+    same Viterbi regardless of constellation order (generic labeled-
+    constellation soft demapper), and the coded multipath loopback is
+    payload-intact at moderate SNR."""
+    q16 = simulate(cfg, n_bursts=4, snr_db=12.0, fec="conv",
+                   constellation="qam16", seed=2)
+    assert q16["crc_ok"] == 4 and q16["payload_intact"]
+    q64 = simulate(cfg, n_bursts=4, snr_db=18.0, fec="conv",
+                   constellation="qam64", seed=2)
+    assert q64["crc_ok"] == 4 and q64["payload_intact"]
