@@ -1950,7 +1950,6 @@ def tx_frame_factored(cfg: GfdmConfig, data, block: int | None = None,
     if interpret is None:
         interpret = not _on_tpu()
     from ..ops import operators as _ops
-    from ..ops.tx import demap_indices as _dmi  # noqa: F401 (parity helper)
 
     tc = _tx_factored_consts(cfg)
     c = _small_consts(cfg, "float32")
