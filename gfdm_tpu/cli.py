@@ -110,7 +110,18 @@ def burst_capacity_bytes(cfg: GfdmConfig, order: int, fec: str = "none") -> int:
     if fec == "conv":
         from .coding import info_bits_for_block
 
-        return info_bits_for_block(order * cfg.n_data_symbols) // 8 - 4
+        n_bits = order * cfg.n_data_symbols
+        if n_bits % 2:
+            # the rate-1/2 codeword 2*(n_info+6) is always even, so an odd
+            # bit budget cannot be filled exactly: conv_encode would emit
+            # n_bits-1 coded bits and the length-n_bits interleaver would
+            # index out of range (advisor round-4 finding)
+            raise ValueError(
+                "fec='conv' needs an even bits-per-burst budget; "
+                f"order {order} x n_data_symbols {cfg.n_data_symbols} "
+                f"gives {n_bits} (odd)"
+            )
+        return info_bits_for_block(n_bits) // 8 - 4
     return payload_capacity_bytes(cfg.n_data_symbols, order)
 
 

@@ -36,6 +36,15 @@ __all__ = [
     "info_bits_for_block",
 ]
 
+# windowed-decoder defaults: span = body + 2*overlap trellis steps per
+# window. overlap 38 > the 5*K=35 truncation depth of the K=7 code;
+# body 52 makes span 128 = 16*8, so the forward/backward scans run 8
+# unrolled iterations instead of the full decoder's T/G (39 at the
+# canonical T=468) - the measured bottleneck is per-scan-step latency,
+# not arithmetic (docs/STATUS.md round-4 Viterbi record)
+WINDOW_BODY = 52
+WINDOW_OVERLAP = 38
+
 _G = (0o133, 0o171)  # generator polynomials, LSB taps the current input
 _K = 7
 _NSTATES = 1 << (_K - 1)  # 64
@@ -170,23 +179,152 @@ def _viterbi_fn(n_info: int):
     return fn
 
 
-def viterbi_decode(llrs, n_info: int):
+@lru_cache(maxsize=8)
+def _viterbi_windowed_fn(n_info: int, body: int, overlap: int):
+    """Block-parallel (windowed) Viterbi: decode overlapping windows of the
+    trellis concurrently instead of scanning all T steps sequentially.
+
+    Each window covers ``span = body + 2*overlap`` trellis steps; windows are
+    folded into the batch axis, so the two scans (ACS forward, traceback
+    backward) shrink from T steps to span steps while the per-step tensors
+    grow by the window count - the right trade on a backend whose scan cost
+    is per-step latency, not per-element arithmetic (measured ~110 us/step
+    regardless of batch, docs/STATUS.md). Correctness comes from the
+    standard truncation argument: survivor paths merge within ~5*K steps,
+    so decisions in a window's body are independent of the uniform metric
+    start once ``overlap`` warmup steps precede them. Boundary windows are
+    exact: a window starting at step 0 starts pinned at state 0, and a
+    window ending at step T tracebacks from the zero-terminated state.
+    """
+    _, outs, _ = _trellis()
+    sgn = 1.0 - 2.0 * outs
+    T = n_info + CONV_TAIL_BITS
+    span = body + 2 * overlap
+    assert T >= span, "caller guards: fall back to the full decoder"
+    neg = np.float32(-1e30)
+    half = _NSTATES >> 1
+
+    W = -(-T // body)  # windows, bodies tile [0, T)
+    starts = np.clip(np.arange(W) * body - overlap, 0, T - span)
+    ends = starts + span
+    t = np.arange(T)
+    w_of_t = np.minimum(t // body, W - 1)
+    pos_of_t = t - starts[w_of_t]
+    time_idx = starts[:, None] + np.arange(span)[None, :]  # (W, span)
+    pinned = starts == 0  # exact state-0 start (trellis origin)
+    terminal = ends == T  # exact state-0 end (zero-terminated)
+    G = max(g for g in range(1, 17) if span % g == 0)
+
+    @jax.jit
+    def fn(llrs):
+        lead = llrs.shape[:-1]
+        lp = llrs.astype(jnp.float32).reshape(lead + (T, 2))
+        wl = lp[..., jnp.asarray(time_idx), :]  # (..., W, span, 2)
+        # init metrics: pinned windows concentrate on state 0; interior
+        # windows start uniform (any-state) and converge inside the overlap
+        pm0 = jnp.where(
+            jnp.asarray(pinned)[:, None] & (jnp.arange(_NSTATES) != 0)[None, :],
+            neg,
+            0.0,
+        )
+        pm0 = jnp.broadcast_to(pm0, lead + (W, _NSTATES))
+        sg = jnp.asarray(sgn)
+
+        def step(pm, l_t):
+            bm = sg[..., 0] * l_t[..., None, None, 0] + (
+                sg[..., 1] * l_t[..., None, None, 1]
+            )
+            c0 = jnp.repeat(pm[..., :half], 2, axis=-1) + bm[..., 0]
+            c1 = jnp.repeat(pm[..., half:], 2, axis=-1) + bm[..., 1]
+            dec = c1 > c0
+            return jnp.maximum(c0, c1), dec
+
+        def fwd_group(pm, lt_g):
+            decs = []
+            for j in range(G):
+                pm, d = step(pm, lt_g[j])
+                decs.append(d)
+            return pm, jnp.stack(decs)
+
+        lt = jnp.moveaxis(wl, -2, 0)  # (span, ..., W, 2)
+        ltg = lt.reshape((span // G, G) + lt.shape[1:])
+        pm, decs = jax.lax.scan(fwd_group, pm0, ltg)
+        decs = decs.reshape((span,) + decs.shape[2:])  # (span, ..., W, 64)
+
+        state0 = jnp.where(
+            jnp.asarray(terminal),
+            0,
+            jnp.argmax(pm, axis=-1).astype(jnp.int32),
+        ).astype(jnp.int32)
+        state0 = jnp.broadcast_to(state0, lead + (W,))
+
+        def back(state, dec_t):
+            d = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
+            bit = state & 1
+            nxt = (state >> 1) | (d.astype(state.dtype) << (_K - 2))
+            return nxt, bit
+
+        def back_group(state, dec_g):
+            bits = []
+            for j in range(G):
+                state, bb = back(state, dec_g[j])
+                bits.append(bb)
+            return state, jnp.stack(bits)
+
+        dg = decs[::-1].reshape((span // G, G) + decs.shape[1:])
+        _, bits_rev = jax.lax.scan(back_group, state0, dg)
+        bits_rev = bits_rev.reshape((span,) + bits_rev.shape[2:])
+        bits = jnp.moveaxis(bits_rev[::-1], 0, -1)  # (..., W, span)
+        # stitch: each output step comes from its owner window's body
+        out = bits[..., jnp.asarray(w_of_t), jnp.asarray(pos_of_t)]
+        return out[..., :n_info].astype(jnp.uint8)
+
+    return fn
+
+
+def viterbi_decode(llrs, n_info: int, mode: str = "auto"):
     """Soft-decision Viterbi: (..., 2*(n_info+6)) LLRs -> (..., n_info) bits.
 
     LLR convention: positive favors bit 0 (ops.softbits). The sequence must
     be zero-terminated (conv_encode appends the 6 tail bits).
+
+    ``mode``: "full" scans the whole trellis sequentially (exact maximum-
+    likelihood); "windowed" decodes overlapping windows in parallel
+    (WINDOW_BODY/WINDOW_OVERLAP; scan length drops from T to 128 steps,
+    measured coded-BER parity within the truncation argument's bounds);
+    "auto" (default) picks windowed whenever the trellis is long enough.
     """
-    return _viterbi_fn(int(n_info))(jnp.asarray(llrs))
+    n_info = int(n_info)
+    T = n_info + CONV_TAIL_BITS
+    if mode == "windowed" or (mode == "auto" and T >= WINDOW_BODY + 2 * WINDOW_OVERLAP):
+        return _viterbi_windowed_fn(n_info, WINDOW_BODY, WINDOW_OVERLAP)(
+            jnp.asarray(llrs)
+        )
+    if mode not in ("auto", "full"):
+        raise ValueError(f"unknown viterbi mode {mode!r}")
+    return _viterbi_fn(n_info)(jnp.asarray(llrs))
 
 
 def interleaver(n: int, seed: int = 0x1EAF) -> np.ndarray:
-    """Fixed pseudo-random interleaver permutation of length n.
+    """Fixed interleaver permutation of length n.
 
     Spreads a faded subcarrier's burst errors across the codeword so the
     Viterbi decoder sees near-independent errors (use with
     channel='multipath'; pure AWGN gains nothing). Apply as
-    coded[..., perm]; invert with np.argsort(perm)."""
-    return np.random.default_rng(seed).permutation(n)
+    coded[..., perm]; invert with np.argsort(perm).
+
+    Computed arithmetically (golden-ratio coprime stride + seed rotation),
+    NOT from a PRNG stream: a tx and rx on different NumPy versions must
+    derive the identical permutation over a real link (np.random.Generator
+    streams are not cross-version stable; advisor round-4 finding).
+    Adjacent coded bits land ~0.382*n apart - the best-possible low-
+    discrepancy spacing for a fixed stride."""
+    if n <= 1:
+        return np.arange(max(n, 0))
+    stride = max(1, round(n * (np.sqrt(5.0) - 1.0) / 2.0))
+    while np.gcd(stride, n) != 1:
+        stride -= 1
+    return (seed + stride * np.arange(n, dtype=np.int64)) % n
 
 
 def coded_bits_per_block(n_info: int) -> int:

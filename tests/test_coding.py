@@ -62,6 +62,65 @@ def test_interleaver_is_a_permutation():
     np.testing.assert_array_equal(x[perm][np.argsort(perm)], x)
 
 
+def test_interleaver_is_version_stable_and_spreading():
+    """The permutation is arithmetic (golden-ratio stride), NOT a NumPy
+    PRNG stream: a tx and rx on different NumPy versions over a real link
+    must derive the identical table (advisor round-4 finding). Pinned
+    values guard the contract; the stride guarantees adjacent coded bits
+    land far apart (burst-error spreading)."""
+    perm = interleaver(936)
+    # stride: round(936/phi)=578 shares a factor 2 with 936 -> 577 (coprime)
+    np.testing.assert_array_equal(
+        perm[:5], [(7855 + j * 577) % 936 for j in range(5)]
+    )
+    gaps = np.abs(np.diff(perm.astype(np.int64)))
+    circ = np.minimum(gaps, 936 - gaps)
+    assert circ.min() >= 936 // 3  # every adjacent pair lands >= n/3 apart
+    # odd lengths work too (stride adjusts to stay coprime)
+    p = interleaver(937)
+    assert np.array_equal(np.sort(p), np.arange(937))
+
+
+def test_windowed_viterbi_parity_with_full():
+    """Block-parallel windowed decoding (scan length 128 instead of T)
+    matches the full maximum-likelihood decoder: bit-identical on clean
+    input, and within statistical parity on a heavily-noised ensemble
+    (the >= 38-step overlap exceeds the 5*K truncation depth, so window-
+    boundary decisions coincide with the ML path essentially always)."""
+    rng = np.random.default_rng(7)
+    n_info = 462  # canonical burst: long enough for the windowed path
+    bits = rng.integers(0, 2, (96, n_info)).astype(np.uint8)
+    coded = conv_encode(bits).astype(np.float32)
+    clean = (1.0 - 2.0 * coded) * 4.0
+    np.testing.assert_array_equal(
+        np.asarray(viterbi_decode(clean, n_info, mode="windowed")), bits
+    )
+    noisy = (1.0 - 2.0 * coded) * 2.0 + rng.normal(
+        0.0, 2.0, coded.shape
+    ).astype(np.float32)
+    full = np.asarray(viterbi_decode(noisy, n_info, mode="full"))
+    win = np.asarray(viterbi_decode(noisy, n_info, mode="windowed"))
+    ber_full = np.mean(full != bits)
+    ber_win = np.mean(win != bits)
+    assert ber_full > 0.005  # the ensemble genuinely stresses the decoder
+    # << 0.1 dB equivalent: allow 15% relative + a 2-sigma counting margin
+    n = bits.size
+    assert ber_win <= ber_full * 1.15 + 2.0 * np.sqrt(ber_full / n)
+
+
+def test_viterbi_auto_mode_selection():
+    """auto = windowed for long trellises, full for short ones (T < span);
+    both agree with the explicitly-selected decoders."""
+    rng = np.random.default_rng(8)
+    for n_info, expect_mode in ((462, "windowed"), (50, "full")):
+        bits = rng.integers(0, 2, (4, n_info)).astype(np.uint8)
+        llrs = (1.0 - 2.0 * conv_encode(bits).astype(np.float32)) * 2.0
+        llrs += rng.normal(0.0, 1.0, llrs.shape).astype(np.float32)
+        auto = np.asarray(viterbi_decode(llrs, n_info))
+        expl = np.asarray(viterbi_decode(llrs, n_info, mode=expect_mode))
+        np.testing.assert_array_equal(auto, expl)
+
+
 def test_coded_link_coding_gain_awgn():
     """At equal Eb/N0 the coded GFDM link beats the uncoded one by orders
     of magnitude once past the waterfall (~2 dB for K=7 soft decision)."""
