@@ -142,43 +142,132 @@ def _bench_cpu_golden(cfg, batch=512, iters=4):
     return dt
 
 
-def _bench_service(cfg, n_chunks=4096, iters=8, chunk_len=2048, snr_db=20.0):
-    """Production receive path: detect + extract + fused receive on a
-    burst-bearing chunk stream (one burst per chunk at a random offset,
-    AWGN at ``snr_db``) - the sync-included number the headline loopback
-    link does not measure (round-3 verdict item 1). Returns
-    (stream samples/s, bursts/s, found fraction)."""
-    import jax
+def _service_stream(cfg, n_chunks, chunk_len, snr_db, impaired, rng):
+    """Synthesize a burst-bearing chunk stream + per-chunk expected counts.
 
+    Offsets are drawn from the OWNED range [0, chunk_len - cp_len): the
+    service's ownership rule is "xcorr peak < chunk_len" and the peak sits
+    cp_len into the burst, so a burst starting in the last cp_len-1 samples
+    of a chunk belongs to the NEXT chunk of a continuous stream (where it
+    is found at a small offset with the clipped CP zero-filled - verified
+    end-to-end, tests/test_stream_eval.py boundary test). Drawing offsets
+    from [0, chunk_len) made 15/2048 = 0.73% of synthetic bursts
+    structurally invisible - that WAS the round-4 "unexplained miss tail"
+    (dissection: benchmarks/miss_tail.py).
+
+    ``impaired`` adds the reference-QA-style channel (SURVEY section 4):
+    per-burst 8-tap Rayleigh multipath + residual CFO up to +-0.2
+    subcarriers, and mixed density - ~25% empty chunks, ~25% two-burst
+    chunks (detector runs with max_bursts_per_chunk=2).
+    """
     from gfdm_tpu.ops.planar_pipeline import prepare, transmit_planar
-    from gfdm_tpu.runtime.service import StreamingReceiver
 
     halo = cfg.frame_len + cfg.cp_len
-    rng = np.random.default_rng(0)
-    qpsk = (rng.integers(0, 2, (n_chunks, 2, cfg.n_data_symbols)) * 2 - 1) / np.sqrt(2.0)
+    ext = chunk_len + halo
+    max_off = chunk_len - cfg.cp_len
+    counts = (
+        rng.choice([0, 1, 2], n_chunks, p=[0.25, 0.5, 0.25])
+        if impaired
+        else np.ones(n_chunks, np.int64)
+    )
+    n_bursts = int(counts.sum())
+    qpsk = (rng.integers(0, 2, (n_bursts, 2, cfg.n_data_symbols)) * 2 - 1) / np.sqrt(2.0)
     prepare(cfg)
     bursts = np.asarray(transmit_planar(cfg, qpsk.astype(np.float32))[:, 0])
-    ext = chunk_len + halo
-    sig_power = float(np.mean(np.sum(bursts**2, axis=1)))
+    bc = bursts[:, 0] + 1j * bursts[:, 1]
+    if impaired:
+        taps = (
+            rng.standard_normal((n_bursts, 8)) + 1j * rng.standard_normal((n_bursts, 8))
+        ) * (0.5 ** np.arange(8)) / np.sqrt(2.0)
+        taps /= np.linalg.norm(taps, axis=1, keepdims=True)
+        L = bc.shape[1]
+        H = np.fft.fft(taps, L + 8, axis=1)
+        bc = np.fft.ifft(np.fft.fft(bc, L + 8, axis=1) * H, axis=1)[:, : L + 7]
+        cfo = rng.uniform(-0.2, 0.2, n_bursts)
+        bc *= np.exp(
+            2j * np.pi * cfo[:, None] * np.arange(bc.shape[1]) / cfg.subcarriers
+        )
+    blen = bc.shape[1]
+    sig_power = float(np.mean(np.abs(bc) ** 2))  # per-sample signal power
     noise_amp = np.sqrt(sig_power * 10 ** (-snr_db / 10) / 2)
     stream = noise_amp * rng.standard_normal((n_chunks, 2, ext))
-    offs = rng.integers(0, chunk_len - 1, n_chunks)
+    # two-burst chunks: first in the left third, second in the right half,
+    # always >= frame_len apart so both fit the extraction windows
+    bi = 0
     for i in range(n_chunks):
-        stream[i, :, offs[i] : offs[i] + cfg.frame_len] += bursts[i]
-    chunks = jax.device_put(stream.astype(np.float32))
+        if counts[i] == 1:
+            pos = [rng.integers(0, max_off)]
+        elif counts[i] == 2:
+            pos = [rng.integers(0, chunk_len // 3 - cfg.cp_len),
+                   rng.integers(chunk_len // 2 + cfg.frame_len // 2, max_off)]
+        else:
+            pos = []
+        for p in pos:
+            stream[i, 0, p : p + blen] += bc[bi].real
+            stream[i, 1, p : p + blen] += bc[bi].imag
+            bi += 1
+    return stream.astype(np.float32), counts
 
+
+def _bench_service(cfg, n_chunks=4096, iters=8, chunk_len=2048, snr_db=20.0,
+                   impaired=False, repeats=3):
+    """Production receive path: detect + extract + fused receive on a
+    burst-bearing chunk stream - the sync-included number the headline
+    loopback link does not measure. Returns a dict with the median
+    device-step rate over ``repeats`` timing blocks, the relative spread
+    (max-min)/median, found fraction, and (on the friendly config) the
+    serve()-loop host-path rate."""
+    import jax
+
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    rng = np.random.default_rng(0)
+    stream, counts = _service_stream(cfg, n_chunks, chunk_len, snr_db,
+                                     impaired, rng)
+    chunks = jax.device_put(stream)
+
+    k = 2 if impaired else 1
     rx = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=n_chunks,
-                           engine="fused")
+                           engine="fused", max_bursts_per_chunk=k)
     step = jax.jit(lambda c, s: rx._step(c * s))
     scales = [jax.device_put(np.float32(1.0 + 1e-6 * i)) for i in range(iters)]
     out = step(chunks, scales[-1])
-    found = float(np.asarray(out["found"]).mean())  # compile + warmup fetch
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(chunks, scales[i])
-    float(np.asarray(out["snr_lin"]).sum())  # fetch forces the queue
-    dt = (time.perf_counter() - t0) / iters
-    return n_chunks * chunk_len / dt, n_chunks / dt, found
+    found = float(np.asarray(out["found"]).sum()) / max(1, int(counts.sum()))
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = step(chunks, scales[i])
+        float(np.asarray(out["snr_lin"]).sum())  # fetch forces the queue
+        rates.append(n_chunks * chunk_len / ((time.perf_counter() - t0) / iters))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    res = {
+        "samples_per_s": med,
+        "bursts_per_s": med / chunk_len * (counts.sum() / n_chunks),
+        "found": found,
+        "spread": (rates[-1] - rates[0]) / med,
+    }
+    if not impaired:
+        # serve()-loop figure: the host path (device_put + fetch) the
+        # device-step number excludes - transfer-bound on tunneled hosts
+        rx2 = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=256,
+                                max_batch_chunks=1024, engine="fused")
+        it = iter(range(0, n_chunks, 1024))
+
+        def source():
+            i = next(it, None)
+            if i is None:
+                return None
+            return stream[i : i + 1024]
+
+        rx2.serve(source, lambda out: None, max_batches=1)  # warm the ladder
+        it = iter(range(0, n_chunks, 1024))
+        t0 = time.perf_counter()
+        rx2.serve(source, lambda out: None)
+        dt = time.perf_counter() - t0
+        res["serve_samples_per_s"] = n_chunks * chunk_len / dt
+    return res
 
 
 def main():
@@ -192,7 +281,8 @@ def main():
 
     cpu_dt_per_frame = _bench_cpu_golden(cfg)
     tpu_dt, evm = _bench_tpu(cfg, batch=batch, iters=iters)
-    svc_sps, svc_bps, svc_found = _bench_service(cfg)
+    svc = _bench_service(cfg)
+    imp = _bench_service(cfg, impaired=True)
 
     samples_per_burst = cfg.frame_len  # over-the-air samples per burst
     tpu_sps = batch * samples_per_burst / tpu_dt
@@ -205,18 +295,23 @@ def main():
         f"step={tpu_dt*1e3:.2f}ms batch={batch}",
         file=sys.stderr,
     )
-    # second metric (round-3 verdict item 1): the sync-included production
-    # receive path - detect + extract + fused receive over a burst-bearing
-    # stream. Reported on stderr + as extra keys of the JSON line so the
-    # driver's single-line contract stays intact.
+    # service metrics (round-4 verdict items 2/3/5): the sync-included
+    # production receive path, reported three ways - friendly (AWGN, one
+    # burst/chunk), impaired (8-tap multipath + residual CFO + mixed
+    # density, max_bursts_per_chunk=2), and the serve()-loop host path.
+    # All medians-of-3 with the relative spread. Extra keys of the JSON
+    # line keep the driver's single-line contract intact.
     print(
         json.dumps(
             {
                 "metric": "gfdm_service_stream_samples_per_s_per_chip",
-                "value": round(svc_sps),
+                "value": round(svc["samples_per_s"]),
                 "unit": "samples/s",
-                "bursts_per_s": round(svc_bps),
-                "found": round(svc_found, 4),
+                "spread": round(svc["spread"], 3),
+                "found": round(svc["found"], 4),
+                "impaired_samples_per_s": round(imp["samples_per_s"]),
+                "impaired_found": round(imp["found"], 4),
+                "serve_loop_samples_per_s": round(svc["serve_samples_per_s"]),
             }
         ),
         file=sys.stderr,
@@ -228,9 +323,14 @@ def main():
                 "value": round(tpu_sps),
                 "unit": "samples/s",
                 "vs_baseline": round(tpu_sps / cpu_sps, 2),
-                "service_stream_samples_per_s": round(svc_sps),
-                "service_bursts_per_s": round(svc_bps),
-                "service_found_frac": round(svc_found, 4),
+                "service_stream_samples_per_s": round(svc["samples_per_s"]),
+                "service_spread": round(svc["spread"], 3),
+                "service_bursts_per_s": round(svc["bursts_per_s"]),
+                "service_found_frac": round(svc["found"], 4),
+                "service_impaired_samples_per_s": round(imp["samples_per_s"]),
+                "service_impaired_spread": round(imp["spread"], 3),
+                "service_impaired_found_frac": round(imp["found"], 4),
+                "serve_loop_samples_per_s": round(svc["serve_samples_per_s"]),
             }
         )
     )

@@ -102,6 +102,34 @@ def conv_encode(bits: np.ndarray) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
+def _radix_tables(k: int):
+    """Collapsed-trellis tables for radix-2^k ACS.
+
+    Composing k trellis steps is exact (max-plus associativity): the state
+    after k inputs is ns = ((p << k) | b_0..b_{k-1}) & 63 with the oldest
+    new bit at the field's MSB, so ns has 2^k predecessors enumerated by the
+    k bits j shifted out of p: p = (ns >> k) | (j << (6-k)). The table holds
+    the 2k coded-bit signs each (ns, j) transition emits; the branch metric
+    is their dot product with the 2k LLRs of the collapsed step. One scan
+    step then advances k trellis steps - k-fold less path-metric traffic
+    and k-fold fewer scan iterations at identical decisions (exact ML).
+    """
+    assert 1 <= k <= _K - 1
+    ns = np.arange(_NSTATES)[:, None]
+    j = np.arange(1 << k)[None, :]
+    p = (ns >> k) | (j << ((_K - 1) - k))
+    sgn = np.zeros((_NSTATES, 1 << k, 2 * k), np.float32)
+    state = np.broadcast_to(p, (_NSTATES, 1 << k)).copy()
+    for i in range(k):
+        b = (ns >> (k - 1 - i)) & 1  # chronological: oldest new bit first
+        w = (state << 1) | b
+        for ci, g in enumerate(_G):
+            sgn[..., 2 * i + ci] = 1.0 - 2.0 * _parity(w & g)
+        state = w & (_NSTATES - 1)
+    return sgn
+
+
+@lru_cache(maxsize=8)
 def _viterbi_fn(n_info: int):
     prev, outs, _ = _trellis()
     # branch metric sign: LLR > 0 favors bit 0 (ops.softbits convention),
@@ -174,6 +202,93 @@ def _viterbi_fn(n_info: int):
         _, bits_rev = jax.lax.scan(back_group, state0, dg)
         bits_rev = bits_rev.reshape((T,) + bits_rev.shape[2:])
         bits = jnp.moveaxis(bits_rev[::-1], 0, -1)  # (..., T)
+        return bits[..., :n_info].astype(jnp.uint8)
+
+    return fn
+
+
+@lru_cache(maxsize=16)
+def _viterbi_radix_fn(n_info: int, k: int):
+    """Radix-2^k Viterbi: exact ML decisions, k trellis steps per scan step.
+
+    The measured decoder bottleneck is HBM traffic of the per-step (B, 64)
+    tensors, not arithmetic (batch scaling is flat; benchmarks/
+    viterbi_bench.py). Collapsing k steps divides both the scan length and
+    the per-step tensor count by k at the same total branch arithmetic, so
+    throughput scales ~k until the (B, 64, 2^k) branch-metric tensor starts
+    to dominate (k=4 measured best at the canonical block).
+    """
+    sgn = _radix_tables(k)  # (64, 2^k, 2k)
+    T = n_info + CONV_TAIL_BITS
+    assert T % k == 0, "caller picks k | T"
+    S = T // k  # collapsed steps
+    neg = np.float32(-1e30)
+    G = max(g for g in range(1, 17) if S % g == 0)
+
+    @jax.jit
+    def fn(llrs):
+        lead = llrs.shape[:-1]
+        lp = llrs.astype(jnp.float32).reshape(lead + (S, 2 * k))
+        pm0 = jnp.full(lead + (_NSTATES,), neg).at[..., 0].set(0.0)
+        sg = jnp.asarray(sgn)
+
+        def step(pm, l_t):
+            # branch metrics: one contraction over the 2k collapsed LLRs
+            bm = jnp.einsum("...m,sjm->...sj", l_t, sg)
+            # predecessor access is a pure reshape/broadcast, gather-free:
+            # p = (ns >> k) | (j << (6-k)) depends only on (ns_hi, j), so
+            # view pm as [j, hi], transpose to [hi, j], and broadcast over
+            # the 2^k low bits of ns
+            A = jnp.swapaxes(
+                pm.reshape(pm.shape[:-1] + (1 << k, _NSTATES >> k)), -1, -2
+            )  # (..., hi, j)
+            cand = A[..., :, None, :] + bm.reshape(
+                bm.shape[:-2] + (_NSTATES >> k, 1 << k, 1 << k)
+            )  # (..., hi, lo, j); ns = (hi << k) | lo
+            cand = cand.reshape(bm.shape)
+            # two fused reductions - NOT max + take_along_axis: a per-element
+            # gather over the 2^k axis lowers to scalar loads on TPU (the
+            # same pathology the barrel extractor replaced)
+            nxt = jnp.max(cand, axis=-1)
+            dec = jnp.argmax(cand, axis=-1).astype(jnp.uint8)
+            return nxt, dec
+
+        def fwd_group(pm, lt_g):
+            decs = []
+            for jj in range(G):
+                pm, d = step(pm, lt_g[jj])
+                decs.append(d)
+            return pm, jnp.stack(decs)
+
+        lt = jnp.moveaxis(lp, -2, 0)
+        ltg = lt.reshape((S // G, G) + lt.shape[1:])
+        _, decs = jax.lax.scan(fwd_group, pm0, ltg)
+        decs = decs.reshape((S,) + decs.shape[2:])  # (S, ..., 64) uint8
+
+        def back(state, dec_t):
+            d = jnp.take_along_axis(
+                dec_t.astype(jnp.int32), state[..., None], axis=-1
+            )[..., 0]
+            bits = jnp.stack(
+                [(state >> (k - 1 - i)) & 1 for i in range(k)], axis=-1
+            )  # chronological within the collapsed step
+            nxt = (state >> k) | (d << ((_K - 1) - k))
+            return nxt, bits
+
+        def back_group(state, dec_g):
+            bits = []
+            for jj in range(G):
+                state, bb = back(state, dec_g[jj])
+                bits.append(bb)
+            return state, jnp.stack(bits)
+
+        state0 = jnp.zeros(lead, jnp.int32)
+        dg = decs[::-1].reshape((S // G, G) + decs.shape[1:])
+        _, bits_rev = jax.lax.scan(back_group, state0, dg)
+        # (S//G, G, ..., k) -> (S, ..., k); reverse steps, keep in-step order
+        bits_rev = bits_rev.reshape((S,) + bits_rev.shape[2:])
+        bits = jnp.moveaxis(bits_rev[::-1], 0, -2)  # (..., S, k)
+        bits = bits.reshape(lead + (T,))
         return bits[..., :n_info].astype(jnp.uint8)
 
     return fn
@@ -288,19 +403,35 @@ def viterbi_decode(llrs, n_info: int, mode: str = "auto"):
     LLR convention: positive favors bit 0 (ops.softbits). The sequence must
     be zero-terminated (conv_encode appends the 6 tail bits).
 
-    ``mode``: "full" scans the whole trellis sequentially (exact maximum-
-    likelihood); "windowed" decodes overlapping windows in parallel
-    (WINDOW_BODY/WINDOW_OVERLAP; scan length drops from T to 128 steps,
-    measured coded-BER parity within the truncation argument's bounds);
-    "auto" (default) picks windowed whenever the trellis is long enough.
+    ``mode``:
+    - "radix": radix-2^k collapsed ACS (k = largest of 4,3,2 dividing the
+      trellis length) - exact ML decisions, k-fold fewer scan steps and
+      k-fold less path-metric HBM traffic (the measured decoder bound).
+    - "full": the one-step-per-scan-iteration reference scan (exact ML).
+    - "windowed": block-parallel truncated decoding (WINDOW_BODY/
+      WINDOW_OVERLAP) - scan length 128 regardless of T; parity-tested but
+      measured SLOWER than radix on the chip (bandwidth-, not latency-
+      bound; see benchmarks/viterbi_bench.py) - kept as the recorded
+      alternative.
+    - "auto" (default): radix when a k>1 divides the trellis length,
+      otherwise full.
     """
     n_info = int(n_info)
     T = n_info + CONV_TAIL_BITS
-    if mode == "windowed" or (mode == "auto" and T >= WINDOW_BODY + 2 * WINDOW_OVERLAP):
+    if mode in ("auto", "radix"):
+        k = next((kk for kk in (4, 3, 2) if T % kk == 0), 1)
+        if k > 1:
+            return _viterbi_radix_fn(n_info, k)(jnp.asarray(llrs))
+        if mode == "radix":
+            raise ValueError(f"no radix k in (4,3,2) divides T={T}")
+        return _viterbi_fn(n_info)(jnp.asarray(llrs))
+    if mode == "windowed":
+        if T < WINDOW_BODY + 2 * WINDOW_OVERLAP:
+            raise ValueError(f"trellis too short for windowed decoding (T={T})")
         return _viterbi_windowed_fn(n_info, WINDOW_BODY, WINDOW_OVERLAP)(
             jnp.asarray(llrs)
         )
-    if mode not in ("auto", "full"):
+    if mode != "full":
         raise ValueError(f"unknown viterbi mode {mode!r}")
     return _viterbi_fn(n_info)(jnp.asarray(llrs))
 

@@ -116,7 +116,15 @@ class StreamingReceiver:
     equalizer: str = "zf"  # "zf" | "mmse" | "mmse_cnr"
     constellation: str = "qpsk"  # "qpsk" | "qam16" | "qam64"
     method: str = "dense"
-    dtype_name: str = "float32"
+    # detection front-end dtype. bfloat16 default: the front end is
+    # HBM-bandwidth-bound and bf16 halves its traffic (measured 24% faster
+    # full service step, 0.987 -> 1.096 Gs/s, at identical found rate and
+    # residual symbol errors). The cost is ~6e-4 absolute CFO quantization,
+    # priced via the residual-CFO sweep (eval.ber cfo knob): EVM 0.24567 ->
+    # 0.24699 at 12 dB = 0.047 dB SNR-equivalent - under half the 0.1 dB
+    # budget (tests/test_detection.py::test_bf16_cfo_budget_is_priced).
+    # Set "float32" for metrology-grade CFO readout.
+    dtype_name: str = "bfloat16"
     engine: str = "xla"  # "xla" | "fused" (Pallas one-kernel receiver)
     mesh: object = None
     # serve() keeps up to this many dispatched batches in flight before
@@ -140,7 +148,9 @@ class StreamingReceiver:
             self.mesh = jax.sharding.Mesh(devs.reshape(len(devs), 1), ("dp", "sp"))
         self.halo = self.cfg.frame_len + self.cfg.cp_len
         self.ext = self.chunk_len + self.halo
-        prepare(self.cfg, self.dtype_name,
+        # dtype_name governs the DETECTION front end only; the demodulator
+        # always runs its own (f32 matmul / bf16-IC) precision scheme
+        prepare(self.cfg, "float32",
                 "dense" if self.engine == "fused" else self.method)
         self._sharding = NamedSharding(self.mesh, P("dp", None, None))
         cfg, chunk_len = self.cfg, self.chunk_len
@@ -154,7 +164,8 @@ class StreamingReceiver:
                     ic_iterations=self.ic_iterations,
                     min_strength=self.min_strength,
                     max_bursts_per_chunk=self.max_bursts_per_chunk,
-                    dtype_name=self.dtype_name,
+                    dtype_name="float32",
+                    detect_dtype_name=self.dtype_name,
                     method=self.method,
                     equalizer=self.equalizer,
                     false_alarm_prob=self.false_alarm_prob,

@@ -124,6 +124,7 @@ def receive_chunks_planar(
     equalizer: str = "zf",
     false_alarm_prob: float = 1e-5,
     constellation: str = "qpsk",
+    detect_dtype_name: str | None = None,
 ):
     """Receive every burst in a batch of extended chunks.
 
@@ -132,13 +133,18 @@ def receive_chunks_planar(
     restricted to owned positions (< chunk_len). This is the jittable core
     shared by :func:`receive_long_stream_planar` and the streaming service.
     Detection decision: see :func:`_found_mask`.
+
+    ``detect_dtype_name`` sets the sync front end's dtype independently of
+    the demodulator's (the production service runs bf16 detection + f32
+    receive); defaults to ``dtype_name``.
     """
     from ..ops import planar_pipeline as pp
 
+    dd = detect_dtype_name or dtype_name
     C = chunks.shape[-1]
     if max_bursts_per_chunk <= 1:
         det = pp.detect_bursts_planar(
-            cfg, chunks, search_limit=chunk_len, dtype_name=dtype_name
+            cfg, chunks, search_limit=chunk_len, dtype_name=dd
         )
         det = {k: v for k, v in det.items() if k != "ac_metric"}
         bursts = pp.extract_bursts_planar(cfg, chunks, det, correct_cfo=correct_cfo)
@@ -146,7 +152,7 @@ def receive_chunks_planar(
         k = int(max_bursts_per_chunk)
         det_k = pp.detect_bursts_topk_planar(
             cfg, chunks, max_bursts=k, search_limit=chunk_len,
-            dtype_name=dtype_name,
+            dtype_name=dd,
         )
         rep = jnp.broadcast_to(
             chunks[..., None, :, :], chunks.shape[:-2] + (k, 2, C)

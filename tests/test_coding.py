@@ -108,16 +108,31 @@ def test_windowed_viterbi_parity_with_full():
     assert ber_win <= ber_full * 1.15 + 2.0 * np.sqrt(ber_full / n)
 
 
+def test_radix_viterbi_is_exact_ml():
+    """Radix-2^k collapsed ACS (the production decoder) is bit-identical to
+    the one-step reference scan: collapsing trellis steps is just max-plus
+    associativity, so the ML path is unchanged - even on a heavily-noised
+    ensemble where the windowed decoder's truncation can differ."""
+    rng = np.random.default_rng(9)
+    for n_info in (462, 120, 57):  # T = 468 (k=4), 126 (k=3), 63 (k=3)
+        bits = rng.integers(0, 2, (32, n_info)).astype(np.uint8)
+        llrs = (1.0 - 2.0 * conv_encode(bits).astype(np.float32)) * 2.0
+        llrs += rng.normal(0.0, 2.2, llrs.shape).astype(np.float32)
+        full = np.asarray(viterbi_decode(llrs, n_info, mode="full"))
+        radix = np.asarray(viterbi_decode(llrs, n_info, mode="radix"))
+        np.testing.assert_array_equal(radix, full)
+
+
 def test_viterbi_auto_mode_selection():
-    """auto = windowed for long trellises, full for short ones (T < span);
-    both agree with the explicitly-selected decoders."""
+    """auto = radix (exact, collapsed) whenever a k>1 divides the trellis
+    length; agrees with the explicitly-selected decoder."""
     rng = np.random.default_rng(8)
-    for n_info, expect_mode in ((462, "windowed"), (50, "full")):
+    for n_info in (462, 50):
         bits = rng.integers(0, 2, (4, n_info)).astype(np.uint8)
         llrs = (1.0 - 2.0 * conv_encode(bits).astype(np.float32)) * 2.0
         llrs += rng.normal(0.0, 1.0, llrs.shape).astype(np.float32)
         auto = np.asarray(viterbi_decode(llrs, n_info))
-        expl = np.asarray(viterbi_decode(llrs, n_info, mode=expect_mode))
+        expl = np.asarray(viterbi_decode(llrs, n_info, mode="radix"))
         np.testing.assert_array_equal(auto, expl)
 
 

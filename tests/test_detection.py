@@ -216,3 +216,24 @@ def test_bfloat16_detection_quality():
     v32 = np.asarray(sync_ops.detection_valid(f32, 1e-4))
     v16 = np.asarray(sync_ops.detection_valid(b16, 1e-4))
     np.testing.assert_array_equal(v16, v32)
+
+
+def test_bf16_cfo_budget_is_priced_and_default():
+    """bfloat16 is the production service default, decided by arithmetic
+    (verdict round-4 item 4): the bf16 front end's ~6e-4 absolute CFO
+    quantization maps to an uncorrected residual CFO whose cost, measured
+    via the eval.ber cfo knob at 12 dB, is EVM 0.24567 -> 0.24699 =
+    (0.24699/0.24567)^2 = 0.047 dB SNR-equivalent - under half the 0.1 dB
+    budget, against a measured 24% full-service-step speedup. This test
+    pins (a) the default and (b) the budget: a residual CFO at the bf16
+    quantization scale must cost < 0.1 dB EVM-equivalent."""
+    from gfdm_tpu.eval.ber import ber_sweep
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    assert StreamingReceiver.dtype_name == "bfloat16"
+    clean = ber_sweep(CFG, [12.0], bursts_per_point=256, ic_iterations=2,
+                      seed=5)
+    quant = ber_sweep(CFG, [12.0], bursts_per_point=256, ic_iterations=2,
+                      seed=5, cfo=6e-4)
+    loss_db = 20.0 * np.log10(quant["evm"][0] / clean["evm"][0])
+    assert loss_db < 0.1
