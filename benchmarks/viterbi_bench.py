@@ -45,7 +45,7 @@ def main():
     scales = [jax.device_put(np.float32(1.0 + 1e-6 * i)) for i in range(iters)]
 
     rates = {}
-    for mode in ("radix", "windowed", "full"):
+    for mode in ("sm", "radix", "windowed", "full"):
         step = jax.jit(lambda x, s, m=mode: viterbi_decode(x * s, n_info, mode=m))
         out = step(dev, scales[-1])
         ber = float(np.mean(np.asarray(out) != bits))
@@ -58,14 +58,15 @@ def main():
         print(f"{mode:>9}: {dt*1e3:8.2f} ms  {batch/dt/1e3:8.1f} kbursts/s  "
               f"{batch*n_info/dt/1e6:8.1f} Minfobits/s  BER {ber:.2e}",
               flush=True)
-    print(f"radix speedup vs full: {rates['radix']/rates['full']:.2f}x  "
-          f"windowed vs full: {rates['windowed']/rates['full']:.2f}x",
-          flush=True)
+    print(f"vs full: sm {rates['sm']/rates['full']:.2f}x  "
+          f"radix {rates['radix']/rates['full']:.2f}x  "
+          f"windowed {rates['windowed']/rates['full']:.2f}x", flush=True)
     # coded-service ceiling: uncoded service rate (docs/STATUS round-4:
     # ~448 kbursts/s device-step) in series with the decoder
     svc = 448e3
-    coded = 1.0 / (1.0 / svc + 1.0 / rates["radix"])
-    print(f"coded-service ceiling vs uncoded {svc/1e3:.0f}k: "
+    best = max(rates, key=rates.get)
+    coded = 1.0 / (1.0 / svc + 1.0 / rates[best])
+    print(f"coded-service ceiling ({best}) vs uncoded {svc/1e3:.0f}k: "
           f"{coded/1e3:.1f} kbursts/s ({100*coded/svc:.0f}%)", flush=True)
 
 

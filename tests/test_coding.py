@@ -123,17 +123,23 @@ def test_radix_viterbi_is_exact_ml():
         np.testing.assert_array_equal(radix, full)
 
 
-def test_viterbi_auto_mode_selection():
-    """auto = radix (exact, collapsed) whenever a k>1 divides the trellis
-    length; agrees with the explicitly-selected decoder."""
+def test_viterbi_auto_and_sm_are_exact():
+    """auto = radix (exact collapsed ACS) when available; the state-major
+    decoder is bit-identical to the batch-major reference scan (same ACS,
+    same tie rule, different data layout) even on a heavily-noised
+    ensemble."""
     rng = np.random.default_rng(8)
     for n_info in (462, 50):
-        bits = rng.integers(0, 2, (4, n_info)).astype(np.uint8)
+        bits = rng.integers(0, 2, (16, n_info)).astype(np.uint8)
         llrs = (1.0 - 2.0 * conv_encode(bits).astype(np.float32)) * 2.0
-        llrs += rng.normal(0.0, 1.0, llrs.shape).astype(np.float32)
+        llrs += rng.normal(0.0, 2.2, llrs.shape).astype(np.float32)
         auto = np.asarray(viterbi_decode(llrs, n_info))
-        expl = np.asarray(viterbi_decode(llrs, n_info, mode="radix"))
-        np.testing.assert_array_equal(auto, expl)
+        radix = np.asarray(viterbi_decode(llrs, n_info, mode="radix"))
+        sm = np.asarray(viterbi_decode(llrs, n_info, mode="sm"))
+        full = np.asarray(viterbi_decode(llrs, n_info, mode="full"))
+        np.testing.assert_array_equal(auto, radix)
+        np.testing.assert_array_equal(sm, full)
+        np.testing.assert_array_equal(radix, full)
 
 
 def test_coded_link_coding_gain_awgn():

@@ -372,6 +372,57 @@ def test_streaming_service_sharded_loop():
     assert sorted(i for r in ranges for i in r) == list(range(10))
 
 
+def test_streaming_service_sp_sharded_serve():
+    """serve() with the sample axis sharded (dp=4 x sp=2 on the 8-device
+    mesh): each chunk splits into two sub-chunks whose detection halo
+    travels over ICI (ppermute), the last shard using the chunk's appended
+    lookahead tail. All bursts recovered with exact payloads and correct
+    absolute start indices - including one burst straddling a SUB-chunk
+    boundary (owned by the left shard via the exchanged halo) and one in
+    the second sub-chunk (verdict round-4 item 7)."""
+    from gfdm_tpu import native
+    from gfdm_tpu.ops import planar as pl
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    chunk_len = 2048
+    sub = chunk_len // 2
+    halo = CFG.frame_len + CFG.cp_len
+    n_chunks = 4
+    data = np.stack(
+        [utils.random_qpsk(CFG.n_data_symbols, seed=300 + i) for i in range(3)]
+    ).astype(np.complex64)
+    bursts = np.asarray(tx_ops.transmit(CFG, data))[:, 0, :]
+    stream = np.zeros(n_chunks * chunk_len, dtype=np.complex64)
+    rng = np.random.default_rng(17)
+    stream += 0.005 * (
+        rng.standard_normal(stream.size) + 1j * rng.standard_normal(stream.size)
+    ).astype(np.complex64)
+    # chunk 0 shard 0; chunk 1 shard 0 straddling into shard 1; chunk 2 shard 1
+    offsets = [150, chunk_len + sub - 300, 2 * chunk_len + sub + 100]
+    for b, off in zip(bursts, offsets):
+        stream[off : off + CFG.frame_len] += b
+
+    sb = native.StreamBuffer(capacity=16 * chunk_len, chunk_len=chunk_len,
+                             halo=halo)
+    sb.push(pl.to_planar(stream))
+    rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=4,
+                           engine="fused", sp_shards=2)
+    assert rx.mesh.shape == {"dp": 4, "sp": 2}
+    got = []
+    stats = rx.serve(sb, sink=got.append)
+    assert stats.bursts_found == 3
+    payloads = []
+    for out in got:
+        found = out["found"]
+        d = pl.from_planar(out["data"][found])
+        for row, start in zip(d, out["start_abs"][found]):
+            payloads.append((int(start), row))
+    payloads.sort()
+    assert [s for s, _ in payloads] == [o + CFG.cp_len for o in offsets]
+    d_hat = np.stack([row for _, row in payloads])
+    assert utils.evm(utils.qpsk_hard_map(d_hat), data) < 1e-5
+
+
 def test_streaming_service_super_batching():
     """max_batch_chunks drains ring backlog in one dispatch; the geometric
     shape ladder bounds compilation; results match the per-batch loop."""
