@@ -210,7 +210,7 @@ def _service_stream(cfg, n_chunks, chunk_len, snr_db, impaired, rng):
 
 
 def _bench_service(cfg, n_chunks=4096, iters=8, chunk_len=2048, snr_db=20.0,
-                   impaired=False, repeats=3):
+                   impaired=False, repeats=3, fec="none"):
     """Production receive path: detect + extract + fused receive on a
     burst-bearing chunk stream - the sync-included number the headline
     loopback link does not measure. Returns a dict with the median
@@ -228,7 +228,7 @@ def _bench_service(cfg, n_chunks=4096, iters=8, chunk_len=2048, snr_db=20.0,
 
     k = 2 if impaired else 1
     rx = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=n_chunks,
-                           engine="fused", max_bursts_per_chunk=k)
+                           engine="fused", max_bursts_per_chunk=k, fec=fec)
     step = jax.jit(lambda c, s: rx._step(c * s))
     scales = [jax.device_put(np.float32(1.0 + 1e-6 * i)) for i in range(iters)]
     out = step(chunks, scales[-1])
@@ -248,7 +248,7 @@ def _bench_service(cfg, n_chunks=4096, iters=8, chunk_len=2048, snr_db=20.0,
         "found": found,
         "spread": (rates[-1] - rates[0]) / med,
     }
-    if not impaired:
+    if not impaired and fec == "none":
         # serve()-loop figure: the host path (device_put + fetch) the
         # device-step number excludes - transfer-bound on tunneled hosts
         rx2 = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=256,
@@ -283,6 +283,10 @@ def main():
     tpu_dt, evm = _bench_tpu(cfg, batch=batch, iters=iters)
     svc = _bench_service(cfg)
     imp = _bench_service(cfg, impaired=True)
+    # the fully-coded modem: same friendly stream, but every slot is also
+    # soft-decoded on device (planar max-log LLRs -> deinterleave -> radix
+    # Viterbi) inside the one jitted step
+    cod = _bench_service(cfg, fec="conv")
 
     samples_per_burst = cfg.frame_len  # over-the-air samples per burst
     tpu_sps = batch * samples_per_burst / tpu_dt
@@ -311,6 +315,7 @@ def main():
                 "found": round(svc["found"], 4),
                 "impaired_samples_per_s": round(imp["samples_per_s"]),
                 "impaired_found": round(imp["found"], 4),
+                "coded_samples_per_s": round(cod["samples_per_s"]),
                 "serve_loop_samples_per_s": round(svc["serve_samples_per_s"]),
             }
         ),
@@ -330,6 +335,8 @@ def main():
                 "service_impaired_samples_per_s": round(imp["samples_per_s"]),
                 "service_impaired_spread": round(imp["spread"], 3),
                 "service_impaired_found_frac": round(imp["found"], 4),
+                "coded_service_samples_per_s": round(cod["samples_per_s"]),
+                "coded_service_bursts_per_s": round(cod["bursts_per_s"]),
                 "serve_loop_samples_per_s": round(svc["serve_samples_per_s"]),
             }
         )

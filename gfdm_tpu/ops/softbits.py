@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["qpsk_llrs", "qpsk_llrs_planar", "maxlog_llrs"]
+__all__ = ["qpsk_llrs", "qpsk_llrs_planar", "maxlog_llrs",
+           "maxlog_llrs_planar"]
 
 _SQRT2 = 2.0**0.5
 
@@ -70,3 +71,38 @@ def maxlog_llrs(symbols, points, noise_var):
     """
     key = tuple(np.asarray(points).astype(np.complex64).tolist())
     return _maxlog_fn(key)(jnp.asarray(symbols), jnp.asarray(noise_var))
+
+
+@lru_cache(maxsize=16)
+def _maxlog_planar_fn(points_key: tuple):
+    points = np.asarray(points_key, dtype=np.complex64)
+    order = int(np.log2(points.size))
+    shifts = np.arange(order - 1, -1, -1)
+    bit_masks = (((np.arange(points.size)[None, :] >> shifts[:, None]) & 1)
+                 .astype(np.float32))
+    big = np.float32(1e30)
+    pr = points.real.astype(np.float32)
+    pi = points.imag.astype(np.float32)
+
+    @jax.jit
+    def fn(symbols_pl, noise_var):
+        # distances are purely real arithmetic - the complex-free TPU form
+        sr = symbols_pl[..., 0, :, None]
+        si = symbols_pl[..., 1, :, None]
+        d = (sr - jnp.asarray(pr)) ** 2 + (si - jnp.asarray(pi)) ** 2
+        masks = jnp.asarray(bit_masks)  # (order, P)
+        d1 = jnp.min(d[..., None, :] + (1.0 - masks) * big, axis=-1)
+        d0 = jnp.min(d[..., None, :] + masks * big, axis=-1)
+        return (d1 - d0) / jnp.maximum(noise_var, 1e-12)[..., None]
+
+    return fn
+
+
+def maxlog_llrs_planar(symbols_pl, points, noise_var):
+    """:func:`maxlog_llrs` on (..., 2, n) planar symbols (no complex dtype
+    anywhere - the on-device form the streaming service's FEC path uses).
+    Returns (..., n, order); positive favors bit 0."""
+    key = tuple(np.asarray(points).astype(np.complex64).tolist())
+    return _maxlog_planar_fn(key)(
+        jnp.asarray(symbols_pl), jnp.asarray(noise_var)
+    )
