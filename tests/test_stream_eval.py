@@ -441,7 +441,9 @@ def test_maxlog_llrs_planar_matches_complex():
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_streaming_service_device_fec():
+@pytest.mark.parametrize("constellation,order,snr_db",
+                         [("qpsk", 2, 10.0), ("qam16", 4, 16.0)])
+def test_streaming_service_device_fec(constellation, order, snr_db):
     """fec='conv': the service step soft-decodes each burst ON DEVICE
     (planar LLRs -> deinterleave -> radix Viterbi) with framing identical
     to the CLI's - a noisy coded stream yields CRC-clean payloads straight
@@ -453,10 +455,11 @@ def test_streaming_service_device_fec():
     from gfdm_tpu.utils.framing import check_crc32, pack_bits
 
     chunk_len = 2048
-    cap = burst_capacity_bytes(CFG, 2, "conv")
+    cap = burst_capacity_bytes(CFG, order, "conv")
     payload = bytes(range(256)) * ((3 * cap) // 256 + 1)
     payload = payload[: 3 * cap - 17]  # 3 bursts, last one padded
-    syms, n_bursts = payload_to_symbols(CFG, payload, "qpsk", fec="conv")
+    syms, n_bursts = payload_to_symbols(CFG, payload, constellation,
+                                        fec="conv")
     assert n_bursts == 3
     prepare(CFG)
     planar = np.stack([syms.real, syms.imag], axis=1).astype(np.float32)
@@ -465,11 +468,10 @@ def test_streaming_service_device_fec():
     halo = CFG.frame_len + CFG.cp_len
     rng = np.random.default_rng(23)
     sig = float(np.mean(np.sum(bursts**2, axis=1)))
-    # 10 dB SNR: the device decode is verified bit-identical to the host
-    # path at any SNR; below ~8 dB this seed's single-preamble CFO
-    # estimate (0.014 subcarriers off on burst 0) corrupts BOTH paths
-    # identically - an estimator-noise property, not a decoder one
-    na = np.sqrt(sig * 10 ** (-1.0) / 2)
+    # SNRs in clean-estimate territory: the device decode is verified
+    # bit-identical to the host path at any SNR; at low SNR the
+    # single-preamble CFO estimator noise corrupts BOTH paths identically
+    na = np.sqrt(sig * 10 ** (-snr_db / 10) / 2)
     chunks = (na * rng.standard_normal((4, 2, chunk_len + halo))
               ).astype(np.float32)
     offs = [100, 700, 1200]
@@ -477,7 +479,8 @@ def test_streaming_service_device_fec():
         chunks[i, :, offs[i] : offs[i] + CFG.frame_len] += bursts[i]
 
     rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=4,
-                           engine="fused", fec="conv")
+                           engine="fused", fec="conv",
+                           constellation=constellation)
     out = rx.step(chunks)
     assert out["found"].tolist() == [True, True, True, False]
     got = b""
