@@ -41,8 +41,11 @@ def make_chunks(cfg, n_chunks: int, chunk_len: int, halo: int, snr_db=20.0,
     sig_power = float(np.mean(np.sum(bursts**2, axis=1)))  # per complex sample
     noise_amp = np.sqrt(sig_power * 10 ** (-snr_db / 10) / 2)
     stream = noise_amp * rng.standard_normal((n_chunks, 2, ext))
-    # burst start position varies per chunk inside the owned region
-    offs = rng.integers(0, chunk_len - 1, n_chunks)
+    # burst start position varies per chunk inside the OWNED range: offsets
+    # past chunk_len - cp_len put the xcorr peak beyond search_limit - in a
+    # real stream those bursts belong to the next chunk (the round-4 "miss
+    # tail" was exactly this synthetic-offset artifact; benchmarks/miss_tail.py)
+    offs = rng.integers(0, chunk_len - cfg.cp_len, n_chunks)
     for i in range(n_chunks):
         stream[i, :, offs[i]: offs[i] + cfg.frame_len] += bursts[i]
     return stream.astype(np.float32), data, offs

@@ -722,10 +722,16 @@ def detect_bursts_topk_planar(
 
 @lru_cache(maxsize=16)
 def _extract_fn_planar(cfg: GfdmConfig, burst_len: int, backoff: int,
-                       correct_cfo: bool, impl: str = "barrel"):
+                       correct_cfo: bool, impl: str = "barrel",
+                       dtype_name: str = "float32"):
     K = cfg.subcarriers
     b = 128  # barrel block: coarse gather granularity and fine-shift span
     f1, f2 = 16, b // 16  # two one-hot select stages: shift = 8*r1 + r2
+    # bf16 (barrel impl): the coarse gather + select stages are pure
+    # bandwidth - halving the sample bytes halves their HBM traffic. The
+    # ~2^-8 relative sample quantization sits at -42 dB, far below the
+    # receive chain's own floors; scale/CFO math stays f32 on the output
+    bf16 = impl == "barrel" and dtype_name == "bfloat16"
 
     @jax.jit
     def fn(stream, start, scale, cfo):
@@ -733,6 +739,8 @@ def _extract_fn_planar(cfg: GfdmConfig, burst_len: int, backoff: int,
         # reference's tag_backoff pre-roll, extract_burst_cc_impl.cc:184-191)
         T = stream.shape[-1]
         lead = stream.shape[:-2]
+        if bf16:
+            stream = stream.astype(jnp.bfloat16)
         st = jnp.clip(start.reshape(-1), 0, T)
         if impl == "slice":
             # one dynamic_slice per chunk - the round-3 form; measured
@@ -781,7 +789,7 @@ def _extract_fn_planar(cfg: GfdmConfig, burst_len: int, backoff: int,
                     (r2 == c)[:, None, None], y1[..., c : c + burst_len], 0.0
                 )
             burst = burst.reshape(lead + (2, burst_len))
-        burst = burst * scale[..., None, None]
+        burst = burst.astype(jnp.float32) * scale[..., None, None]
         if correct_cfo:
             offs = jnp.arange(burst_len)
             phase = -2.0 * jnp.pi * cfo[..., None] * offs / K
@@ -799,13 +807,21 @@ def extract_bursts_planar(
     burst_len: int | None = None,
     backoff: int | None = None,
     correct_cfo: bool = True,
+    dtype_name: str = "float32",
 ):
-    """Planar burst extraction: (..., 2, T) + detection -> (..., 2, burst_len)."""
+    """Planar burst extraction: (..., 2, T) + detection -> (..., 2, burst_len).
+
+    ``dtype_name="bfloat16"`` runs the barrel gather/select stages on bf16
+    samples (half the HBM traffic; output back in float32 before the
+    scale/CFO epilogue) - the production service threads its detection
+    dtype here.
+    """
     if burst_len is None:
         burst_len = cfg.frame_len
     if backoff is None:
         backoff = cfg.cp_len
-    fn = _extract_fn_planar(cfg, int(burst_len), int(backoff), bool(correct_cfo))
+    fn = _extract_fn_planar(cfg, int(burst_len), int(backoff),
+                            bool(correct_cfo), dtype_name=str(dtype_name))
     return fn(stream, detection["start"], detection["scale"], detection["cfo"])
 
 

@@ -275,7 +275,9 @@ class StreamingReceiver:
                     dtype_name=self.dtype_name,
                 )
                 det = {kk: v for kk, v in det.items() if kk != "ac_metric"}
-                bursts = pp.extract_bursts_planar(cfg, chunks, det)
+                bursts = pp.extract_bursts_planar(
+                    cfg, chunks, det, dtype_name=self.dtype_name
+                )
             else:
                 det_k = pp.detect_bursts_topk_planar(
                     cfg, chunks, max_bursts=k, search_limit=chunk_len,
@@ -287,7 +289,8 @@ class StreamingReceiver:
                 )
                 det = _flatten_slots(det_k)
                 bursts = pp.extract_bursts_planar(
-                    cfg, rep.reshape((-1,) + chunks.shape[1:]), det
+                    cfg, rep.reshape((-1,) + chunks.shape[1:]), det,
+                    dtype_name=self.dtype_name,
                 )
             data, symbols, channel, snr_lin, cnrs = smap(bursts)
             out = {
@@ -368,7 +371,9 @@ class StreamingReceiver:
                 cfg, extended, search_limit=sub, dtype_name=self.dtype_name
             )
             det = {kk: v for kk, v in det.items() if kk != "ac_metric"}
-            bursts = pp.extract_bursts_planar(cfg, extended, det)
+            bursts = pp.extract_bursts_planar(
+                cfg, extended, det, dtype_name=self.dtype_name
+            )
             out = fk.receive_bursts_fused(
                 cfg, bursts, ic_iterations=self.ic_iterations,
                 block=_pick_vmem_block(bursts.shape[0]),

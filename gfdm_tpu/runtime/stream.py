@@ -147,7 +147,9 @@ def receive_chunks_planar(
             cfg, chunks, search_limit=chunk_len, dtype_name=dd
         )
         det = {k: v for k, v in det.items() if k != "ac_metric"}
-        bursts = pp.extract_bursts_planar(cfg, chunks, det, correct_cfo=correct_cfo)
+        bursts = pp.extract_bursts_planar(cfg, chunks, det,
+                                          correct_cfo=correct_cfo,
+                                          dtype_name=dd)
     else:
         k = int(max_bursts_per_chunk)
         det_k = pp.detect_bursts_topk_planar(
@@ -159,7 +161,8 @@ def receive_chunks_planar(
         )
         det = _flatten_slots(det_k)
         bursts = pp.extract_bursts_planar(
-            cfg, rep.reshape((-1, 2, C)), det, correct_cfo=correct_cfo
+            cfg, rep.reshape((-1, 2, C)), det, correct_cfo=correct_cfo,
+            dtype_name=dd,
         )
     from ..ops.rx import constellation_points
 

@@ -129,7 +129,20 @@ def test_viterbi_auto_and_sm_are_exact():
     same tie rule, different data layout) even on a heavily-noised
     ensemble."""
     rng = np.random.default_rng(8)
-    for n_info in (462, 50):
+    # 462 -> T=468 (k=4), 50 -> T=56 (k=4), 55 -> T=61 prime (auto falls
+    # back to the full scan; explicit radix raises)
+    for n_info in (462, 50, 55):
+        if n_info == 55:
+            import pytest as _pytest
+
+            bits = rng.integers(0, 2, (4, n_info)).astype(np.uint8)
+            llrs = (1.0 - 2.0 * conv_encode(bits).astype(np.float32)) * 2.0
+            auto = np.asarray(viterbi_decode(llrs, n_info))
+            full = np.asarray(viterbi_decode(llrs, n_info, mode="full"))
+            np.testing.assert_array_equal(auto, full)
+            with _pytest.raises(ValueError):
+                viterbi_decode(llrs, n_info, mode="radix")
+            continue
         bits = rng.integers(0, 2, (16, n_info)).astype(np.uint8)
         llrs = (1.0 - 2.0 * conv_encode(bits).astype(np.float32)) * 2.0
         llrs += rng.normal(0.0, 2.2, llrs.shape).astype(np.float32)

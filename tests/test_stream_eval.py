@@ -491,6 +491,46 @@ def test_streaming_service_device_fec(constellation, order, snr_db):
     assert got[: len(payload)] == payload
 
 
+def test_streaming_service_sp_sharded_with_fec():
+    """sp sharding and device FEC compose: each sub-chunk's burst is
+    decoded on device inside the sharded step (slots = chunks x shards)."""
+    from gfdm_tpu.cli import burst_capacity_bytes, payload_to_symbols
+    from gfdm_tpu.ops.planar_pipeline import prepare, transmit_planar
+    from gfdm_tpu.runtime.service import StreamingReceiver
+    from gfdm_tpu.utils.framing import check_crc32, pack_bits
+
+    chunk_len = 2048
+    sub = chunk_len // 2
+    cap = burst_capacity_bytes(CFG, 2, "conv")
+    payload = bytes(range(200))[: 2 * cap - 5]
+    syms, n_bursts = payload_to_symbols(CFG, payload, "qpsk", fec="conv")
+    assert n_bursts == 2
+    prepare(CFG)
+    planar = np.stack([syms.real, syms.imag], axis=1).astype(np.float32)
+    bursts = np.asarray(transmit_planar(CFG, planar)[:, 0])
+    halo = CFG.frame_len + CFG.cp_len
+    rng = np.random.default_rng(31)
+    sig = float(np.mean(np.sum(bursts**2, axis=1)))
+    na = np.sqrt(sig * 10 ** (-1.2) / 2)  # 12 dB
+    chunks = (na * rng.standard_normal((4, 2, chunk_len + halo))
+              ).astype(np.float32)
+    # chunk 0: burst in shard 0; chunk 1: burst in shard 1
+    chunks[0, :, 150 : 150 + CFG.frame_len] += bursts[0]
+    chunks[1, :, sub + 100 : sub + 100 + CFG.frame_len] += bursts[1]
+
+    rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=4,
+                           engine="fused", sp_shards=2, fec="conv")
+    out = rx.step(chunks)
+    found = out["found"].reshape(4, 2)
+    assert found[0, 0] and found[1, 1] and found.sum() == 2
+    got = b""
+    for slot in (0, 3):  # (chunk 0, shard 0) and (chunk 1, shard 1)
+        ok, part = check_crc32(pack_bits(out["bits"][slot][: (cap + 4) * 8]))
+        assert ok
+        got += part
+    assert got[: len(payload)] == payload
+
+
 def test_streaming_service_super_batching():
     """max_batch_chunks drains ring backlog in one dispatch; the geometric
     shape ladder bounds compilation; results match the per-batch loop."""
