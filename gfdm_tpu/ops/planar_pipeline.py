@@ -825,6 +825,55 @@ def extract_bursts_planar(
     return fn(stream, detection["start"], detection["scale"], detection["cfo"])
 
 
+@lru_cache(maxsize=8)
+def _refine_cfo_fn(cfg: GfdmConfig, skip: int, burst_len: int):
+    """Two-stage CFO: fine residual from the payload block's CP.
+
+    The extracted burst is already coarse-corrected by the Schmidl&Cox
+    K-lag preamble estimate (one-shot std ~0.007 subcarriers at 8 dB -
+    tail draws cost ~50 deg of drift across the burst, the dominant frame
+    killer at low SNR; see docs/STATUS round-5 sensitivity entry). The
+    payload block's cyclic prefix offers an N-lag observable: CP sample i
+    equals block-end sample i rotated by 2*pi*cfo*N/K, an N/K = 9x longer
+    phase lever than the preamble lag. The residual after coarse
+    correction (|res| < ~0.03) is far inside the +-K/(2N) ambiguity, so
+    the combination is unambiguous. Measured: residual std 0.0072 ->
+    0.0024, max 0.027 -> 0.008 at 8 dB (3x) - beyond the reference, whose
+    sync stops at the coarse stage (XFDMSync role).
+
+    ``skip`` drops the first CP samples (ISI-polluted by the preceding
+    preamble tail under multipath; default cp_len/2).
+    """
+    K = cfg.subcarriers
+    N = cfg.block_len
+    cp0 = cfg.preamble_len + skip  # block-CP window [cp0, cp1)
+    cp1 = cfg.preamble_len + cfg.cp_len
+
+    @jax.jit
+    def fn(bursts):
+        a = bursts[..., cp0:cp1]
+        b = bursts[..., cp0 + N : cp1 + N]
+        z = jnp.sum(pmul(pconj(a), b), axis=-1)  # (..., 2)
+        fine = jnp.arctan2(z[..., 1], z[..., 0]) * (K / (2.0 * np.pi * N))
+        offs = jnp.arange(burst_len)
+        phase = -2.0 * jnp.pi * fine[..., None] * offs / K
+        rot = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-2)
+        return pmul(bursts, rot), fine
+
+    return fn
+
+
+def refine_cfo_planar(cfg: GfdmConfig, bursts, skip: int | None = None):
+    """Fine CFO correction of coarse-corrected extracted bursts.
+
+    (..., 2, frame_len) planar -> (corrected bursts, fine residual in
+    subcarrier fractions). See :func:`_refine_cfo_fn`.
+    """
+    if skip is None:
+        skip = cfg.cp_len // 2
+    return _refine_cfo_fn(cfg, int(skip), int(bursts.shape[-1]))(bursts)
+
+
 # ---------------------------------------------------------------------------
 # Full link step (bench / entry)
 # ---------------------------------------------------------------------------

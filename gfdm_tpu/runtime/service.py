@@ -131,6 +131,10 @@ class StreamingReceiver:
     # service rate, not a post-processing demo (round-4 verdict item 1).
     fec: str = "none"  # "none" | "conv"
     method: str = "dense"
+    # two-stage CFO: refine the coarse preamble estimate with the payload
+    # block's N-lag CP correlation after extraction (3x lower residual at
+    # 8 dB; planar_pipeline.refine_cfo_planar). On by default.
+    refine_cfo: bool = True
     # detection front-end dtype. bfloat16 default: the front end is
     # HBM-bandwidth-bound and bf16 halves its traffic (measured 24% faster
     # full service step, 0.987 -> 1.096 Gs/s, at identical found rate and
@@ -223,6 +227,7 @@ class StreamingReceiver:
                     equalizer=self.equalizer,
                     false_alarm_prob=self.false_alarm_prob,
                     constellation=self.constellation,
+                    refine_cfo=self.refine_cfo,
                 )
                 if self._decode is not None:
                     out["bits"] = self._decode(out["data"], out["snr_lin"])
@@ -292,6 +297,8 @@ class StreamingReceiver:
                     cfg, rep.reshape((-1,) + chunks.shape[1:]), det,
                     dtype_name=self.dtype_name,
                 )
+            if self.refine_cfo:
+                bursts, _ = pp.refine_cfo_planar(cfg, bursts)
             data, symbols, channel, snr_lin, cnrs = smap(bursts)
             out = {
                 "data": data, "symbols": symbols, "channel": channel,
@@ -374,6 +381,8 @@ class StreamingReceiver:
             bursts = pp.extract_bursts_planar(
                 cfg, extended, det, dtype_name=self.dtype_name
             )
+            if self.refine_cfo:
+                bursts, _ = pp.refine_cfo_planar(cfg, bursts)
             out = fk.receive_bursts_fused(
                 cfg, bursts, ic_iterations=self.ic_iterations,
                 block=_pick_vmem_block(bursts.shape[0]),

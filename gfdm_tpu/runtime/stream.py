@@ -125,6 +125,7 @@ def receive_chunks_planar(
     false_alarm_prob: float = 1e-5,
     constellation: str = "qpsk",
     detect_dtype_name: str | None = None,
+    refine_cfo: bool = True,
 ):
     """Receive every burst in a batch of extended chunks.
 
@@ -137,6 +138,11 @@ def receive_chunks_planar(
     ``detect_dtype_name`` sets the sync front end's dtype independently of
     the demodulator's (the production service runs bf16 detection + f32
     receive); defaults to ``dtype_name``.
+
+    ``refine_cfo``: after the coarse (preamble K-lag) correction applied
+    at extraction, re-estimate the residual CFO from the payload block's
+    CP (N-lag, 9x finer; planar_pipeline.refine_cfo_planar) and derotate
+    - the two-stage sync that cuts low-SNR frame losses.
     """
     from ..ops import planar_pipeline as pp
 
@@ -164,6 +170,8 @@ def receive_chunks_planar(
             cfg, rep.reshape((-1, 2, C)), det, correct_cfo=correct_cfo,
             dtype_name=dd,
         )
+    if refine_cfo and correct_cfo:
+        bursts, _ = pp.refine_cfo_planar(cfg, bursts)
     from ..ops.rx import constellation_points
 
     out = pp.receive_bursts_planar(
