@@ -788,3 +788,36 @@ def test_two_stage_cfo_refinement_accuracy():
     res_fine = res_coarse - np.asarray(fine)
     assert res_fine.std() < 0.6 * res_coarse.std()
     assert np.abs(res_fine).max() < 0.7 * np.abs(res_coarse).max()
+
+
+@pytest.mark.parametrize("engine", ["xla", "fused"])
+def test_streaming_service_non_canonical_config(engine):
+    """The full service path (bf16 detection, barrel extraction, two-stage
+    CFO, receiver) generalizes beyond the canonical frame: K=128, M=5,
+    cp=64 - every window position and operator derives from the config,
+    both engines (the Pallas one-kernel receiver included)."""
+    from gfdm_tpu.ops.planar_pipeline import prepare, transmit_planar
+    from gfdm_tpu.runtime.service import StreamingReceiver
+
+    cfg = GfdmConfig(timeslots=5, subcarriers=128, active_subcarriers=110,
+                     dc_free=True, cp_len=64, cs_len=32, filteralpha=0.2)
+    rng = np.random.default_rng(3)
+    n = 4
+    qpsk = (rng.integers(0, 2, (n, 2, cfg.n_data_symbols)) * 2 - 1) / np.sqrt(2.0)
+    prepare(cfg)
+    bursts = np.asarray(transmit_planar(cfg, qpsk.astype(np.float32))[:, 0])
+    chunk_len = 2048
+    halo = cfg.frame_len + cfg.cp_len
+    sig = float(np.mean(np.sum(bursts**2, axis=1)))
+    na = np.sqrt(sig * 10 ** (-1.5) / 2)  # 15 dB
+    chunks = (na * rng.standard_normal((n, 2, chunk_len + halo))
+              ).astype(np.float32)
+    offs = rng.integers(0, chunk_len - cfg.cp_len, n)
+    for i in range(n):
+        chunks[i, :, offs[i] : offs[i] + cfg.frame_len] += bursts[i]
+    rx = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=n,
+                           engine=engine)
+    out = rx.step(chunks)
+    assert out["found"].all()
+    np.testing.assert_array_equal(out["start"], offs + cfg.cp_len)
+    assert np.mean(np.abs(out["data"] - qpsk) > 0.5) == 0.0
