@@ -26,14 +26,24 @@ def modem_sensitivity(
     chunk_len: int = 2048,
     constellation: str = "qpsk",
     seed: int = 0,
+    cfo_range: float = 0.0,
+    channel: str = "awgn",
+    n_channel_taps: int = 8,
+    equalizer: str = "zf",
 ) -> dict:
     """Sweep the coded service over SNR.
 
     Returns {"snr_db", "found_rate", "crc_rate", "info_ber"} arrays. One
-    burst per chunk at a random owned offset, AWGN; CRC per the CLI conv
+    burst per chunk at a random owned offset; CRC per the CLI conv
     framing; info-BER counted against the transmitted info bits over ALL
     transmitted bursts (a missed burst counts all its bits as erased at
     rate 1/2, i.e. 0.5 BER contribution - the honest deployment metric).
+
+    Impairments: ``cfo_range`` applies a per-burst uniform CFO in
+    [-cfo_range, +cfo_range] subcarriers (exercises the full two-stage
+    coarse+fine correction); ``channel="multipath"`` convolves each burst
+    with an independent ``n_channel_taps``-tap exponential-PDP Rayleigh
+    channel (pair with ``equalizer="mmse_cnr"`` for the best LLRs).
     """
     from ..cli import burst_capacity_bytes, payload_to_symbols
     from ..coding import info_bits_for_block
@@ -64,20 +74,41 @@ def modem_sensitivity(
     prepare(cfg)
     planar = np.stack([syms.real, syms.imag], axis=1).astype(np.float32)
     bursts = np.asarray(transmit_planar(cfg, planar)[:, 0])
+    bc0 = bursts[:, 0] + 1j * bursts[:, 1]
     halo = cfg.frame_len + cfg.cp_len
-    sig = float(np.mean(np.sum(bursts**2, axis=1)))
 
     rx = StreamingReceiver(cfg, chunk_len=chunk_len, batch_chunks=n_bursts,
                            engine="fused", fec="conv",
-                           constellation=constellation)
+                           constellation=constellation, equalizer=equalizer)
     found_rate, crc_rate, info_ber = [], [], []
     for snr in snr_db:
+        bc = bc0
+        if channel == "multipath":
+            taps = (
+                rng.standard_normal((n_bursts, n_channel_taps))
+                + 1j * rng.standard_normal((n_bursts, n_channel_taps))
+            ) * (0.5 ** np.arange(n_channel_taps)) / np.sqrt(2.0)
+            taps /= np.linalg.norm(taps, axis=1, keepdims=True)
+            L = bc.shape[1]
+            H = np.fft.fft(taps, L + n_channel_taps, axis=1)
+            bc = np.fft.ifft(
+                np.fft.fft(bc, L + n_channel_taps, axis=1) * H, axis=1
+            )[:, : L + n_channel_taps - 1]
+        if cfo_range:
+            f = rng.uniform(-cfo_range, cfo_range, n_bursts)
+            bc = bc * np.exp(
+                2j * np.pi * f[:, None] * np.arange(bc.shape[1])
+                / cfg.subcarriers
+            )
+        blen = bc.shape[1]
+        sig = float(np.mean(np.abs(bc) ** 2))  # per-sample signal power
         na = np.sqrt(sig * 10 ** (-float(snr) / 10) / 2)
         chunks = (na * rng.standard_normal((n_bursts, 2, chunk_len + halo))
                   ).astype(np.float32)
         offs = rng.integers(0, chunk_len - cfg.cp_len, n_bursts)
         for i in range(n_bursts):
-            chunks[i, :, offs[i] : offs[i] + cfg.frame_len] += bursts[i]
+            chunks[i, 0, offs[i] : offs[i] + blen] += bc[i].real.astype(np.float32)
+            chunks[i, 1, offs[i] : offs[i] + blen] += bc[i].imag.astype(np.float32)
         out = rx.step(chunks)
         found = np.asarray(out["found"])
         bits = np.asarray(out["bits"])
