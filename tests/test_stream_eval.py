@@ -442,7 +442,8 @@ def test_maxlog_llrs_planar_matches_complex():
 
 
 @pytest.mark.parametrize("constellation,order,snr_db",
-                         [("qpsk", 2, 10.0), ("qam16", 4, 16.0)])
+                         [("qpsk", 2, 10.0), ("qam16", 4, 16.0),
+                          ("qam64", 6, 24.0)])
 def test_streaming_service_device_fec(constellation, order, snr_db):
     """fec='conv': the service step soft-decodes each burst ON DEVICE
     (planar LLRs -> deinterleave -> radix Viterbi) with framing identical
@@ -844,3 +845,44 @@ def test_modem_sensitivity_with_impairments():
                                equalizer="mmse_cnr", seed=4)
     assert mp_cnr["crc_rate"][0] >= mp_zf["crc_rate"][0]
     assert mp_cnr["crc_rate"][0] >= 0.8
+
+
+def test_serve_delivers_device_decoded_bits():
+    """serve() + sink: the device-decoded 'bits' flow through the fetch
+    path with slot trimming intact (coded payload reassembled from the
+    sink's outputs alone)."""
+    from gfdm_tpu.cli import burst_capacity_bytes, payload_to_symbols
+    from gfdm_tpu.ops.planar_pipeline import prepare, transmit_planar
+    from gfdm_tpu.runtime.service import StreamingReceiver
+    from gfdm_tpu.utils.framing import check_crc32, pack_bits
+
+    chunk_len = 2048
+    cap = burst_capacity_bytes(CFG, 2, "conv")
+    payload = bytes(range(106))[: 2 * cap]
+    syms, n_bursts = payload_to_symbols(CFG, payload, "qpsk", fec="conv")
+    prepare(CFG)
+    planar = np.stack([syms.real, syms.imag], axis=1).astype(np.float32)
+    bursts = np.asarray(transmit_planar(CFG, planar)[:, 0])
+    halo = CFG.frame_len + CFG.cp_len
+    rng = np.random.default_rng(41)
+    sig = float(np.mean(np.sum(bursts**2, axis=1)))
+    na = np.sqrt(sig * 10 ** (-1.2) / 2)
+    chunks = (na * rng.standard_normal((3, 2, chunk_len + halo))
+              ).astype(np.float32)
+    for i in range(2):
+        chunks[i, :, 200 + i * 400 : 200 + i * 400 + CFG.frame_len] += bursts[i]
+
+    rx = StreamingReceiver(CFG, chunk_len=chunk_len, batch_chunks=3,
+                           engine="fused", fec="conv")
+    it = iter([chunks])
+    got = []
+    rx.serve(lambda: next(it, None), got.append)
+    assert len(got) == 1
+    out = got[0]
+    assert out["found"].tolist() == [True, True, False]
+    parts = []
+    for i in range(2):
+        ok, part = check_crc32(pack_bits(out["bits"][i][: (cap + 4) * 8]))
+        assert ok
+        parts.append(part)
+    assert b"".join(parts) == payload
