@@ -173,3 +173,12 @@ def test_coded_link_multipath_mmse_cnr_beats_zf():
     cnr = coded_ber_point(CFG, 9.0, bursts=256, equalizer="mmse_cnr",
                           channel="multipath", seed=11)
     assert cnr < zf
+
+
+def test_interleaver_valid_across_codeword_sizes():
+    """The arithmetic stride stays coprime (a true permutation) for every
+    realistic codeword length - including the qam16/qam64 service sizes
+    (1872, 2808) and a sample of arbitrary lengths."""
+    for n in (936, 1872, 2808, 2, 3, 17, 100, 1024, 4095):
+        p = interleaver(n)
+        assert np.array_equal(np.sort(p), np.arange(n)), n
