@@ -237,3 +237,26 @@ def test_bf16_cfo_budget_is_priced_and_default():
                       seed=5, cfo=6e-4)
     loss_db = 20.0 * np.log10(quant["evm"][0] / clean["evm"][0])
     assert loss_db < 0.1
+
+
+def test_twostage_default_and_fallback():
+    """The two-stage detector is the default for 128-aligned chunks and
+    matches the dense matmul front bit-for-bit; non-aligned chunk lengths
+    silently fall back to the dense front (same results, no error)."""
+    chunks, expect = _burst_chunks(8, snr_db=15.0, seed=907)
+    s = jnp.asarray(chunks)
+    assert pp.DETECT_IMPL == "twostage"
+    d_two = pp.detect_bursts_planar(CFG, s, search_limit=CHUNK)
+    try:
+        pp.DETECT_IMPL = "matmul"
+        d_ref = pp.detect_bursts_planar(CFG, s, search_limit=CHUNK)
+    finally:
+        pp.DETECT_IMPL = "twostage"
+    np.testing.assert_array_equal(np.asarray(d_two["start"]),
+                                  np.asarray(d_ref["start"]))
+    np.testing.assert_allclose(np.asarray(d_two["cfo"]),
+                               np.asarray(d_ref["cfo"]), atol=1e-6)
+    # non-aligned length: the dispatcher must fall back, not fail
+    s_odd = s[..., :-1]
+    d_odd = pp.detect_bursts_planar(CFG, s_odd, search_limit=CHUNK)
+    assert np.all(np.abs(np.asarray(d_odd["start"]) - expect) <= 2)
